@@ -1,0 +1,142 @@
+"""Experiment directory + artifact registry.
+
+Replaces the steppy DAG's on-disk transformer/output cache (reference:
+common_blocks/utils.py:415-486, README.md:133-143 directory layout) with an
+explicit artifact store. The observable behaviors preserved:
+
+- re-runnable evaluation picks up trained weights from disk
+  (reference: utils.py:462-467),
+- per-fold artifact namespacing via name suffixes
+  (reference: main.py:873-879 ``add_fold_id_suffix``),
+- out-of-fold / test prediction persistence
+  (reference: main.py:892-913),
+- ``clone_from`` / ``overwrite`` experiment-dir semantics
+  (reference: main.py:38-51),
+- fine-tune-from-checkpoint (reference: utils.py:455-461).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from salt_tpu.core.logging import get_logger
+
+logger = get_logger()
+
+
+class Experiment:
+    """Filesystem layout::
+
+        <dir>/
+          checkpoints/<name>/best.npz        best-metric model params
+          checkpoints/<name>/last.npz        latest params (resume)
+          outputs/<name>.npz                 persisted step outputs / predictions
+          validation_results.json
+          config.json
+    """
+
+    def __init__(self, directory: str, overwrite: bool = False,
+                 clone_from: str = ""):
+        self.directory = directory
+        if clone_from and not os.path.exists(directory):
+            logger.info("cloning experiment dir from %s", clone_from)
+            shutil.copytree(clone_from, directory)
+        if overwrite and os.path.exists(directory):
+            shutil.rmtree(directory)
+        os.makedirs(os.path.join(directory, "checkpoints"), exist_ok=True)
+        os.makedirs(os.path.join(directory, "outputs"), exist_ok=True)
+
+    # -- checkpoints ---------------------------------------------------
+    def checkpoint_dir(self, name: str) -> str:
+        d = os.path.join(self.directory, "checkpoints", name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def checkpoint_path(self, name: str, tag: str = "best") -> str:
+        return os.path.join(self.checkpoint_dir(name), f"{tag}.npz")
+
+    def has_checkpoint(self, name: str, tag: str = "best") -> bool:
+        return os.path.exists(self.checkpoint_path(name, tag))
+
+    def save_params(self, name: str, params: Any, tag: str = "best",
+                    meta: Optional[dict] = None) -> str:
+        """Persist a pytree of arrays as a flat npz (keys are '/'-joined paths)."""
+        import jax
+        flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+        arrays = {}
+        for path, leaf in flat:
+            key = "/".join(_path_str(p) for p in path)
+            arrays[key] = np.asarray(leaf)
+        path_out = self.checkpoint_path(name, tag)
+        np.savez(path_out, **arrays)
+        if meta is not None:
+            with open(os.path.join(self.checkpoint_dir(name), f"{tag}.json"), "w") as f:
+                json.dump(meta, f)
+        return path_out
+
+    def load_params(self, name: str, like: Any, tag: str = "best") -> Any:
+        """Load params saved by :meth:`save_params`, restoring the structure
+        (and dtypes) of the ``like`` pytree."""
+        import jax
+        data = np.load(self.checkpoint_path(name, tag))
+        flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+        leaves = []
+        for path, leaf in flat:
+            key = "/".join(_path_str(p) for p in path)
+            arr = data[key]
+            leaves.append(arr.astype(np.asarray(leaf).dtype).reshape(np.shape(leaf)))
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(like), leaves)
+
+    def load_meta(self, name: str, tag: str = "best") -> dict:
+        p = os.path.join(self.checkpoint_dir(name), f"{tag}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    # -- outputs / predictions ------------------------------------------
+    def output_path(self, name: str) -> str:
+        return os.path.join(self.directory, "outputs", f"{name}.npz")
+
+    def save_predictions(self, name: str, ids: List[str], images: np.ndarray) -> str:
+        """Persist predictions keyed by image id — replaces the reference's
+        joblib ``out_of_fold_{train,test}_predictions.pkl`` (main.py:901-907)."""
+        path = self.output_path(name)
+        np.savez_compressed(path, ids=np.array(ids, dtype=object),
+                            images=np.asarray(images))
+        return path
+
+    def load_predictions(self, name: str) -> Dict[str, np.ndarray]:
+        data = np.load(self.output_path(name), allow_pickle=True)
+        return {"ids": list(data["ids"]), "images": data["images"]}
+
+    def has_output(self, name: str) -> bool:
+        return os.path.exists(self.output_path(name))
+
+    def save_json(self, name: str, payload: dict) -> str:
+        path = os.path.join(self.directory, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=2, default=float)
+        return path
+
+    def load_json(self, name: str) -> dict:
+        with open(os.path.join(self.directory, f"{name}.json")) as f:
+            return json.load(f)
+
+
+def _path_str(p: Any) -> str:
+    # jax KeyPath entries: DictKey(key), SequenceKey(idx), GetAttrKey(name)
+    for attr in ("key", "idx", "name"):
+        if hasattr(p, attr):
+            return str(getattr(p, attr))
+    return str(p)
+
+
+def add_fold_suffix(name: str, fold_id: int) -> str:
+    """Per-fold artifact namespacing (reference: main.py:873-879)."""
+    return f"{name}_fold_{fold_id}"

@@ -1,0 +1,105 @@
+"""Config tree, metadata generation, and artifact-store tests."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from salt_tpu.core.config import default_config, load_config
+from salt_tpu.core.experiment import Experiment, add_fold_suffix
+from salt_tpu.data.metadata import generate_metadata
+from salt_tpu.data.synthetic import write_synthetic_dataset
+
+
+def test_default_config_matches_reference_yaml():
+    cfg = default_config()
+    assert cfg.execution.loader_mode == "resize_and_pad"
+    assert cfg.execution.pad_method == "edge"
+    assert cfg.execution.resize_target_size == 102
+    assert cfg.execution.pad_size == 13
+    # 102 + 2*13 = 128 target size (reference: neptune.yaml:22-34)
+    assert cfg.execution.resize_target_size + 2 * cfg.execution.pad_size == cfg.image.h
+    assert cfg.training.batch_size_train == 24
+    assert cfg.training.lr == 1e-4
+    assert cfg.postpro.threshold_masks == 0.5
+    assert cfg.execution.n_cv_splits == 6
+
+
+def test_load_reference_style_yaml(tmp_path):
+    p = tmp_path / "neptune.yaml"
+    p.write_text("""
+parameters:
+  architecture: PSPNet
+  batch_size_train: 8
+  lr: 0.001
+  pad_method: reflect
+  threshold_masks: 0.4
+""")
+    cfg = load_config(str(p))
+    assert cfg.model.architecture == "PSPNet"
+    assert cfg.training.batch_size_train == 8
+    assert cfg.training.lr == 0.001
+    assert cfg.execution.pad_method == "reflect"
+    assert cfg.postpro.threshold_masks == 0.4
+
+
+def test_load_nested_yaml_and_overrides(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text("""
+model:
+  architecture: SaltUNet
+training:
+  epochs: 3
+""")
+    cfg = load_config(str(p), overrides={"execution.dev_mode": True})
+    assert cfg.model.architecture == "SaltUNet"
+    assert cfg.training.epochs == 3
+    assert cfg.execution.dev_mode is True
+
+
+def test_generate_metadata(tmp_path):
+    train_dir, test_dir, depths = write_synthetic_dataset(
+        str(tmp_path), n_train=6, n_test=3, seed=1)
+    meta = generate_metadata(train_dir, test_dir, depths)
+    assert list(meta.columns) == ["file_path_image", "file_path_mask",
+                                  "is_train", "id", "z", "size", "is_not_empty"]
+    assert (meta["is_train"] == 1).sum() == 6
+    assert (meta["is_train"] == 0).sum() == 3
+    train_rows = meta[meta.is_train == 1]
+    assert ((train_rows["size"] > 0) == (train_rows["is_not_empty"] == 1)).all()
+    assert meta[meta.is_train == 0]["size"].isna().all()
+
+
+def test_experiment_checkpoint_roundtrip(tmp_path):
+    exp = Experiment(str(tmp_path / "exp"))
+    params = {"conv": {"kernel": np.arange(12, dtype=np.float32).reshape(3, 4),
+                       "bias": np.ones(4, dtype=np.float32)},
+              "scale": np.float32(2.0)}
+    exp.save_params("network", params, meta={"epoch": 3, "iout": 0.5})
+    like = {"conv": {"kernel": np.zeros((3, 4), np.float32),
+                     "bias": np.zeros(4, np.float32)},
+            "scale": np.float32(0.0)}
+    restored = exp.load_params("network", like)
+    np.testing.assert_array_equal(restored["conv"]["kernel"], params["conv"]["kernel"])
+    np.testing.assert_array_equal(restored["conv"]["bias"], params["conv"]["bias"])
+    assert exp.load_meta("network")["epoch"] == 3
+    assert exp.has_checkpoint("network")
+    assert not exp.has_checkpoint(add_fold_suffix("network", 0))
+
+
+def test_experiment_predictions_roundtrip(tmp_path):
+    exp = Experiment(str(tmp_path / "exp"))
+    imgs = np.random.rand(4, 101, 101).astype(np.float32)
+    exp.save_predictions("out_of_fold_train_predictions", ["a", "b", "c", "d"], imgs)
+    loaded = exp.load_predictions("out_of_fold_train_predictions")
+    assert loaded["ids"] == ["a", "b", "c", "d"]
+    np.testing.assert_allclose(loaded["images"], imgs)
+
+
+def test_experiment_clone_and_overwrite(tmp_path):
+    src = Experiment(str(tmp_path / "src"))
+    src.save_json("validation_results", {"iout": 0.9})
+    cloned = Experiment(str(tmp_path / "dst"), clone_from=str(tmp_path / "src"))
+    assert cloned.load_json("validation_results")["iout"] == 0.9
+    fresh = Experiment(str(tmp_path / "dst"), overwrite=True)
+    assert not os.path.exists(str(tmp_path / "dst" / "validation_results.json"))
