@@ -1,0 +1,120 @@
+"""Unified CLI — replaces the reference's edit-__main__-to-choose-function
+drivers (reference: main.py:924-925, README.md:179-184).
+
+Usage:
+    python -m salt_tpu.cli prepare-metadata --config cfg.yaml
+    python -m salt_tpu.cli train --config cfg.yaml [--dev-mode]
+    python -m salt_tpu.cli evaluate | predict | train-evaluate-cv |
+           train-evaluate-predict-cv | evaluate-cv | evaluate-predict-cv
+    python -m salt_tpu.cli train --synthetic 128   # no-data smoke run
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from salt_tpu.core.config import Config, load_config
+from salt_tpu.core.experiment import Experiment
+from salt_tpu.core.logging import init_logger
+
+
+def _build_experiment(cfg: Config) -> Experiment:
+    return Experiment(cfg.paths.experiment_dir,
+                      overwrite=cfg.execution.overwrite,
+                      clone_from=cfg.execution.clone_experiment_dir_from)
+
+
+def _bundles(cfg: Config, synthetic: int):
+    if synthetic:
+        from salt_tpu.data.bundle import synthetic_bundle
+        train = synthetic_bundle(synthetic, seed=cfg.execution.seed)
+        test = synthetic_bundle(max(synthetic // 4, 8),
+                                seed=cfg.execution.seed + 1, with_masks=False)
+        return train, test
+    from salt_tpu.data.bundle import train_test_bundles
+    return train_test_bundles(cfg)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="salt_tpu")
+    parser.add_argument("command", choices=[
+        "prepare-metadata", "train", "evaluate", "predict",
+        "train-evaluate-cv", "train-evaluate-predict-cv",
+        "evaluate-cv", "evaluate-predict-cv"])
+    parser.add_argument("--config", default=None,
+                        help="YAML config (native nested or reference-style "
+                             "'parameters:' layout); falls back to "
+                             "CONFIG_PATH env var")
+    parser.add_argument("--dev-mode", action="store_true")
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="run on N generated synthetic images instead "
+                             "of reading the data dirs")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="SECTION.FIELD=VALUE",
+                        help="config overrides, e.g. "
+                             "--set model.architecture=PSPNet")
+    args = parser.parse_args(argv)
+
+    # SALT_TPU_PLATFORM=cpu forces the CPU backend (useful for smoke
+    # runs; must go through jax.config because this environment's
+    # sitecustomize pins jax_platforms at interpreter start).
+    import os as _os
+    platform = _os.getenv("SALT_TPU_PLATFORM")
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
+
+    init_logger()
+    overrides = {}
+    for item in args.set:
+        key, value = item.split("=", 1)
+        for cast in (int, float):
+            try:
+                value = cast(value)
+                break
+            except ValueError:
+                continue
+        if value in ("true", "True"):
+            value = True
+        if value in ("false", "False"):
+            value = False
+        overrides[key] = value
+    cfg = load_config(args.config, overrides)
+    if args.dev_mode:
+        cfg.execution.dev_mode = True
+    if args.epochs is not None:
+        cfg.training.epochs = args.epochs
+
+    if args.command == "prepare-metadata":
+        from salt_tpu.data.metadata import generate_metadata
+        meta = generate_metadata(cfg.paths.train_images_dir,
+                                 cfg.paths.test_images_dir,
+                                 cfg.paths.depths_filepath)
+        meta.to_csv(cfg.paths.metadata_filepath, index=None)
+        print(f"metadata saved to {cfg.paths.metadata_filepath}")
+        return 0
+
+    from salt_tpu.pipeline import api
+    experiment = _build_experiment(cfg)
+    train_b, test_b = _bundles(cfg, args.synthetic)
+
+    if args.command == "train":
+        api.train(cfg, experiment, train_b)
+    elif args.command == "evaluate":
+        print(api.evaluate(cfg, experiment, train_b))
+    elif args.command == "predict":
+        api.predict(cfg, experiment, test_b)
+    elif args.command == "train-evaluate-cv":
+        print(api.train_evaluate_cv(cfg, experiment, train_b))
+    elif args.command == "train-evaluate-predict-cv":
+        print(api.train_evaluate_predict_cv(cfg, experiment, train_b, test_b))
+    elif args.command == "evaluate-cv":
+        print(api.evaluate_cv(cfg, experiment, train_b))
+    elif args.command == "evaluate-predict-cv":
+        print(api.evaluate_predict_cv(cfg, experiment, train_b, test_b))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""Lovász hinge / softmax losses, jit-safe for TPU.
+
+Re-derivation of Berman's Lovász extension (the reference vendors the
+author's torch code, reference: common_blocks/lovasz_losses.py) in pure
+fixed-shape JAX:
+
+- descending sort via ``jax.lax.top_k`` (differentiable w.r.t. values;
+  the permutation applied to labels carries no gradient — same semantics
+  as the torch code's ``perm.data`` detach at lovasz_losses.py:111-112),
+- per-image reduction via ``vmap`` instead of a Python generator loop
+  (reference: lovasz_losses.py:89-91),
+- no boolean-mask dynamic shapes: the 'ignore' case is handled by
+  weighting instead of filtering (all TGS labels are valid so the default
+  path is exact).
+
+The hinge uses ELU+1-free form matching the reference exactly:
+``dot(elu(errors_sorted), lovasz_grad(gt_sorted))``
+(reference: lovasz_losses.py:97-115).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def lovasz_grad(gt_sorted: jax.Array) -> jax.Array:
+    """Gradient of the Lovász extension w.r.t. sorted errors
+    (reference: lovasz_losses.py:21-33). gt_sorted: [P] floats {0,1}."""
+    gts = jnp.sum(gt_sorted)
+    intersection = gts - jnp.cumsum(gt_sorted)
+    union = gts + jnp.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / union
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+def lovasz_hinge_flat(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Binary Lovász hinge on flat [P] logits/labels
+    (reference: lovasz_losses.py:97-115)."""
+    labels = labels.astype(jnp.float32)
+    signs = 2.0 * labels - 1.0
+    errors = 1.0 - logits.astype(jnp.float32) * signs
+    p = errors.shape[0]
+    errors_sorted, perm = jax.lax.top_k(errors, p)     # descending
+    gt_sorted = jax.lax.stop_gradient(labels[perm])
+    grad = lovasz_grad(gt_sorted)
+    return jnp.dot(jax.nn.elu(errors_sorted), jax.lax.stop_gradient(grad))
+
+
+def lovasz_hinge(logits: jax.Array, labels: jax.Array,
+                 per_image: bool = True) -> jax.Array:
+    """Batch Lovász hinge. Accepts [B, ...] logits/labels of identical
+    shape (the reference feeds the full [B, 2, H, W] one-hot pair,
+    models.py:326-328 -> lovasz_losses.py:81-94; channel layout is
+    irrelevant because each image flattens before sorting)."""
+    b = logits.shape[0]
+    flat_logits = logits.reshape(b, -1)
+    flat_labels = labels.reshape(b, -1)
+    if per_image:
+        losses = jax.vmap(lovasz_hinge_flat)(flat_logits, flat_labels)
+        return jnp.mean(losses)
+    return lovasz_hinge_flat(flat_logits.reshape(-1), flat_labels.reshape(-1))
+
+
+def lovasz_softmax_flat(probas: jax.Array, labels: jax.Array,
+                        classes: int) -> jax.Array:
+    """Multi-class Lovász-Softmax on [P, C] probabilities
+    (reference: lovasz_losses.py:191-210)."""
+    losses = []
+    for c in range(classes):
+        fg = (labels == c).astype(jnp.float32)
+        errors = jnp.abs(fg - probas[:, c])
+        errors_sorted, perm = jax.lax.top_k(errors, errors.shape[0])
+        fg_sorted = jax.lax.stop_gradient(fg[perm])
+        losses.append(jnp.dot(errors_sorted,
+                              jax.lax.stop_gradient(lovasz_grad(fg_sorted))))
+    return jnp.mean(jnp.stack(losses))
+
+
+def lovasz_softmax(probas: jax.Array, labels: jax.Array,
+                   per_image: bool = False) -> jax.Array:
+    """probas: [B, H, W, C] class probabilities; labels: [B, H, W] ints
+    (reference: lovasz_losses.py:173-188, NHWC here)."""
+    c = probas.shape[-1]
+    flat_p = probas.reshape(probas.shape[0], -1, c)
+    flat_l = labels.reshape(labels.shape[0], -1)
+    if per_image:
+        losses = jax.vmap(lambda p, l: lovasz_softmax_flat(p, l, c))(flat_p, flat_l)
+        return jnp.mean(losses)
+    return lovasz_softmax_flat(flat_p.reshape(-1, c), flat_l.reshape(-1), c)
+
+
+def stable_bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Numerically stable BCE-with-logits, mean-reduced
+    (reference: lovasz_losses.py:148-155 ``StableBCELoss``)."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    loss = (jnp.clip(logits, 0, None) - logits * targets
+            + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return jnp.mean(loss)

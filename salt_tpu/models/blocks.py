@@ -1,0 +1,186 @@
+"""Shared flax building blocks for all architectures.
+
+TPU-first re-design of the reference's torch blocks (reference:
+common_blocks/architectures/base.py): NHWC layout, bfloat16-friendly
+compute dtype with float32 params/BN stats, SAME padding (the reference
+pads asymmetrically right+top via ReplicationPad2d(0, kh-1, kw-1, 0),
+base.py:26 — a quirk we deliberately do not copy), bilinear upsampling
+via jax.image.resize.
+
+Blocks covered: Conv2dBnRelu, DeconvConv2dBnRelu, DecoderBlock (scSE),
+ChannelSELayer, SpatialSELayer, DepthChannelExcitation,
+DepthSpatialExcitation, GlobalConvolutionalNetwork, BoundaryRefinement
+(reference: base.py:7-197).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def upsample2x(x: jax.Array, factor: int = 2) -> jax.Array:
+    """Bilinear NHWC upsample (reference uses nn.Upsample/F.upsample
+    bilinear, base.py:70, unet.py:101-107)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c), method="linear")
+
+
+class ConvBnRelu(nn.Module):
+    """Conv -> BN -> ReLU (reference: base.py:7-37)."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    use_relu: bool = True
+    use_batch_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                    padding="SAME", use_bias=not self.use_batch_norm,
+                    dtype=self.dtype)(x)
+        if self.use_batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class DeconvConvBnRelu(nn.Module):
+    """Stride-2 transpose conv -> BN -> ReLU (reference: base.py:40-57)."""
+    features: int
+    use_relu: bool = True
+    use_batch_norm: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
+                             padding="SAME", use_bias=not self.use_batch_norm,
+                             dtype=self.dtype)(x)
+        if self.use_batch_norm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype)(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class ChannelSELayer(nn.Module):
+    """Squeeze-and-excitation over channels (reference: base.py:89-104)."""
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2))                      # global avg pool
+        y = nn.Dense(max(c // self.reduction, 1), dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Dense(c, dtype=self.dtype)(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class SpatialSELayer(nn.Module):
+    """Squeeze-and-excitation over space (reference: base.py:107-117)."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(1, (1, 1), dtype=self.dtype)(x)
+        y = nn.sigmoid(y)
+        return x * y
+
+
+class DecoderBlock(nn.Module):
+    """Upsample -> concat skip -> 2x ConvBnRelu -> scSE recalibration
+    (reference: base.py:65-86)."""
+    middle_features: int
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip: Optional[jax.Array] = None,
+                 train: bool = False):
+        x = upsample2x(x)
+        if skip is not None:
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = ConvBnRelu(self.middle_features, dtype=self.dtype)(x, train)
+        x = ConvBnRelu(self.features, dtype=self.dtype)(x, train)
+        cse = ChannelSELayer(dtype=self.dtype)(x)
+        sse = SpatialSELayer(dtype=self.dtype)(x)
+        return nn.relu(cse + sse)
+
+
+class DepthChannelExcitation(nn.Module):
+    """Per-channel gate from the scalar depth feature
+    (reference: base.py:120-131)."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, d):
+        c = x.shape[-1]
+        d = d.reshape(d.shape[0], 1).astype(x.dtype)
+        y = nn.sigmoid(nn.Dense(c, dtype=self.dtype)(d))
+        return x * y[:, None, None, :]
+
+
+class DepthSpatialExcitation(nn.Module):
+    """Coarse spatial gate from the scalar depth feature
+    (reference: base.py:134-149)."""
+    grid_size: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, d):
+        g = int(self.grid_size ** 0.5)
+        b, h, w, _ = x.shape
+        d = d.reshape(d.shape[0], 1).astype(x.dtype)
+        y = nn.sigmoid(nn.Dense(self.grid_size, dtype=self.dtype)(d))
+        y = y.reshape(b, g, g, 1)
+        y = jax.image.resize(y, (b, h, w, 1), method="linear")
+        return x * y
+
+
+class GlobalConvolutionalNetwork(nn.Module):
+    """Factorized kx1+1xk large-kernel block (reference: base.py:152-178)."""
+    features: int
+    kernel_size: int
+    use_relu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        a = ConvBnRelu(self.features, (k, 1), use_relu=self.use_relu,
+                       dtype=self.dtype)(x, train)
+        a = ConvBnRelu(self.features, (1, k), use_relu=self.use_relu,
+                       dtype=self.dtype)(a, train)
+        b = ConvBnRelu(self.features, (1, k), use_relu=self.use_relu,
+                       dtype=self.dtype)(x, train)
+        b = ConvBnRelu(self.features, (k, 1), use_relu=self.use_relu,
+                       dtype=self.dtype)(b, train)
+        return a + b
+
+
+class BoundaryRefinement(nn.Module):
+    """Residual boundary-refinement block (reference: base.py:181-197)."""
+    features: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        y = ConvBnRelu(self.features, (k, k), use_relu=True,
+                       dtype=self.dtype)(x, train)
+        y = ConvBnRelu(self.features, (k, k), use_relu=False,
+                       dtype=self.dtype)(y, train)
+        return x + y

@@ -1,0 +1,120 @@
+"""Main U-Net family: encoder trunk + center + scSE decoder ladder +
+optional hypercolumn head.
+
+Capability counterpart of reference: common_blocks/architectures/unet.py
+(UNetResNet 22-109, UNetSeResNet 112-172, UNetSeResNetXt 175-235,
+UNetDenseNet 238-307). Shared shape: 4 encoder stages -> center
+(2x ConvBnRelu + AvgPool, unet.py:60-63) -> 5 scSE DecoderBlocks with
+skip concat (unet.py:95-99) -> optional hypercolumn concat of upsampled
+dec1..dec5 (unet.py:101-107) -> ConvBnRelu + 1x1 head (unet.py:83-84).
+NHWC, bfloat16-friendly; logits emitted in float32.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from salt_tpu.models.blocks import ConvBnRelu, DecoderBlock, upsample2x
+from salt_tpu.models.encoders import make_encoder
+
+
+class UNetTrunk(nn.Module):
+    """The shared encoder->center->decoder->head pipeline."""
+    encoder_kind: str = "resnet"
+    encoder_depth: int = 34
+    num_classes: int = 2
+    dropout_2d: float = 0.0
+    use_hypercolumn: bool = True
+    pool0: bool = False
+    bottom_channels: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_dec1: bool = False):
+        b = self.bottom_channels
+        x = x.astype(self.dtype)
+        enc2, enc3, enc4, enc5 = make_encoder(
+            self.encoder_kind, self.encoder_depth, self.pool0,
+            self.dtype)(x, train)
+
+        if self.dropout_2d > 0:
+            enc5 = nn.Dropout(self.dropout_2d, broadcast_dims=(1, 2),
+                              deterministic=not train)(enc5)
+
+        # center: 2x ConvBnRelu then avg-pool stride 2 (unet.py:60-63)
+        center = ConvBnRelu(b, dtype=self.dtype, name="center_conv1")(enc5, train)
+        center = ConvBnRelu(b // 2, dtype=self.dtype,
+                            name="center_conv2")(center, train)
+        center = nn.avg_pool(center, (2, 2), strides=(2, 2))
+
+        dec5 = DecoderBlock(b, b // 8, dtype=self.dtype,
+                            name="dec5")(center, enc5, train)
+        dec4 = DecoderBlock(b // 2, b // 8, dtype=self.dtype,
+                            name="dec4")(dec5, enc4, train)
+        dec3 = DecoderBlock(b // 4, b // 8, dtype=self.dtype,
+                            name="dec3")(dec4, enc3, train)
+        dec2 = DecoderBlock(b // 8, b // 8, dtype=self.dtype,
+                            name="dec2")(dec3, enc2, train)
+        dec1 = DecoderBlock(b // 16, b // 8, dtype=self.dtype,
+                            name="dec1")(dec2, None, train)
+
+        if self.use_hypercolumn:
+            head_in = jnp.concatenate([
+                dec1,
+                upsample2x(dec2, 2),
+                upsample2x(dec3, 4),
+                upsample2x(dec4, 8),
+                upsample2x(dec5, 16),
+            ], axis=-1)
+        else:
+            head_in = dec1
+
+        y = ConvBnRelu(b // 8, dtype=self.dtype, name="final_conv")(head_in, train)
+        if return_dec1:
+            return y
+        logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                         name="head")(y)
+        return logits.astype(jnp.float32)
+
+
+def UNetResNet(encoder_depth=34, num_classes=2, dropout_2d=0.0,
+               use_hypercolumn=True, pool0=False, dtype=jnp.float32):
+    """(reference: unet.py:22-109; registry defaults models.py:15-19)."""
+    bottom = 512 if encoder_depth in (18, 34) else 2048
+    return UNetTrunk(encoder_kind="resnet", encoder_depth=encoder_depth,
+                     num_classes=num_classes, dropout_2d=dropout_2d,
+                     use_hypercolumn=use_hypercolumn, pool0=pool0,
+                     bottom_channels=bottom, dtype=dtype)
+
+
+def UNetSeResNet(encoder_depth=50, num_classes=2, dropout_2d=0.0,
+                 use_hypercolumn=True, pool0=False, dtype=jnp.float32):
+    """(reference: unet.py:112-172)."""
+    return UNetTrunk(encoder_kind="se_resnet", encoder_depth=encoder_depth,
+                     num_classes=num_classes, dropout_2d=dropout_2d,
+                     use_hypercolumn=use_hypercolumn, pool0=pool0,
+                     bottom_channels=2048, dtype=dtype)
+
+
+def UNetSeResNetXt(encoder_depth=50, num_classes=2, dropout_2d=0.0,
+                   use_hypercolumn=True, pool0=False, dtype=jnp.float32):
+    """(reference: unet.py:175-235; SE-ResNeXt50_32x4d encoder)."""
+    return UNetTrunk(encoder_kind="se_resnext", encoder_depth=encoder_depth,
+                     num_classes=num_classes, dropout_2d=dropout_2d,
+                     use_hypercolumn=use_hypercolumn, pool0=pool0,
+                     bottom_channels=2048, dtype=dtype)
+
+
+def UNetDenseNet(encoder_depth=121, num_classes=2, dropout_2d=0.0,
+                 use_hypercolumn=True, pool0=False, dtype=jnp.float32):
+    """(reference: unet.py:238-307). bottom_channels follows the last
+    dense block (1024 for densenet121)."""
+    from salt_tpu.models.encoders import encoder_channels
+    bottom = encoder_channels("densenet", encoder_depth)[-1]
+    return UNetTrunk(encoder_kind="densenet", encoder_depth=encoder_depth,
+                     num_classes=num_classes, dropout_2d=dropout_2d,
+                     use_hypercolumn=use_hypercolumn, pool0=pool0,
+                     bottom_channels=bottom, dtype=dtype)

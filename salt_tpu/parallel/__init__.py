@@ -1,0 +1,2 @@
+from salt_tpu.parallel.mesh import (make_mesh, batch_sharding,
+                                    replicated_sharding, shard_batch)
