@@ -40,7 +40,13 @@ def main(argv=None):
     parser.add_argument("command", choices=[
         "prepare-metadata", "train", "evaluate", "predict",
         "train-evaluate-cv", "train-evaluate-predict-cv",
-        "evaluate-cv", "evaluate-predict-cv"])
+        "evaluate-cv", "evaluate-predict-cv",
+        "empty-train", "empty-evaluate", "empty-cv",
+        "stacking-cv"])
+    parser.add_argument("--stacking-experiments", nargs="*", default=[],
+                        metavar="DIR",
+                        help="first-level experiment dirs whose oof "
+                             "predictions feed the stacking level")
     parser.add_argument("--config", default=None,
                         help="YAML config (native nested or reference-style "
                              "'parameters:' layout); falls back to "
@@ -113,6 +119,34 @@ def main(argv=None):
         print(api.evaluate_cv(cfg, experiment, train_b))
     elif args.command == "evaluate-predict-cv":
         print(api.evaluate_predict_cv(cfg, experiment, train_b, test_b))
+    elif args.command == "empty-train":
+        from salt_tpu.pipeline import emptiness
+        emptiness.train(cfg, experiment, train_b)
+    elif args.command == "empty-evaluate":
+        from salt_tpu.pipeline import emptiness
+        print(emptiness.evaluate(cfg, experiment, train_b))
+    elif args.command == "empty-cv":
+        from salt_tpu.pipeline import emptiness
+        print(emptiness.train_evaluate_predict_cv(cfg, experiment, train_b,
+                                                  test_b))
+    elif args.command == "stacking-cv":
+        from salt_tpu.pipeline import stacking
+        dirs = args.stacking_experiments
+        if not dirs:
+            raise SystemExit("stacking-cv requires --stacking-experiments")
+        ids, cube = stacking.join_experiment_predictions(dirs, "train")
+        bundle, cube = stacking.stacking_bundle(train_b, ids, cube)
+        test_cube = test_bundle_aligned = None
+        try:
+            t_ids, t_cube = stacking.join_experiment_predictions(dirs, "test")
+            if test_b is not None:
+                test_bundle_aligned, test_cube = stacking.stacking_bundle(
+                    test_b, t_ids, t_cube)
+        except (FileNotFoundError, ValueError):
+            pass
+        print(stacking.train_evaluate_stacking(cfg, experiment, bundle, cube,
+                                               test_cube,
+                                               test_bundle_aligned))
     return 0
 
 

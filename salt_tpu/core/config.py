@@ -120,11 +120,12 @@ class TrainingConfig:
 class PostprocessingConfig:
     # reference: neptune.yaml:79-80, main.py:282-292
     threshold_masks: float = 0.5
+    use_tta: bool = False                 # route inference through network_tta
     tta_aggregation_method: str = "mean"  # 'mean' | 'max' | 'min' | 'gmean'
     tta_flip_ud: bool = False
-    tta_flip_lr: bool = True
+    tta_flip_lr: bool = True              # reference tta_generator: flip_lr only
     tta_rotation: bool = False
-    tta_color_shift: bool = False
+    tta_color_shift_runs: int = 0
 
 
 @dataclass

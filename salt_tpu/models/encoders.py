@@ -237,15 +237,20 @@ class DenseNetEncoder(nn.Module):
 
 
 def make_encoder(kind: str, depth: int, pool0: bool = False,
-                 dtype: Dtype = jnp.float32) -> nn.Module:
+                 dtype: Dtype = jnp.float32,
+                 name: str = "encoder") -> nn.Module:
+    """All encoders get the fixed scope name 'encoder' so pretrained
+    params graft into any trunk (see models/torch_import.py)."""
     if kind == "resnet":
-        return ResNetEncoder(depth=depth, pool0=pool0, dtype=dtype)
+        return ResNetEncoder(depth=depth, pool0=pool0, dtype=dtype,
+                             name=name)
     if kind == "se_resnet":
         return ResNetEncoder(depth=depth, pool0=pool0, use_se=True,
-                             dtype=dtype)
+                             dtype=dtype, name=name)
     if kind == "se_resnext":
         return ResNetEncoder(depth=depth, pool0=pool0, use_se=True,
-                             groups=32, base_width=4, dtype=dtype)
+                             groups=32, base_width=4, dtype=dtype, name=name)
     if kind == "densenet":
-        return DenseNetEncoder(depth=depth, pool0=pool0, dtype=dtype)
+        return DenseNetEncoder(depth=depth, pool0=pool0, dtype=dtype,
+                               name=name)
     raise ValueError(f"unknown encoder kind {kind!r}")

@@ -1,0 +1,146 @@
+"""One-time converter: torch encoder checkpoints -> flax param pytrees.
+
+The reference gets its ImageNet encoders from torchvision /
+pretrainedmodels at model construction (reference:
+common_blocks/architectures/encoders.py:10-19,52-57,90-93,125-132).
+Those packages download weights at runtime; this build instead converts
+a torch ``state_dict`` file ONCE into the framework's own npz checkpoint
+format, so no torch dependency exists on the TPU serving path.
+
+Weight layout rules:
+- conv weight  [O, I, kh, kw]  ->  flax kernel [kh, kw, I, O]
+- linear weight [O, I]         ->  flax kernel [I, O]
+- BatchNorm weight/bias        ->  params scale/bias
+- BatchNorm running_mean/var   ->  batch_stats mean/var
+
+Supported naming schemes: torchvision ResNet (resnet18/34/50/101/152)
+and pretrainedmodels SENet (se_resnet*/se_resnext*; layer0.conv1 stem,
+per-block se_module.fc1/fc2 1x1-conv gates).
+
+Usage::
+
+    sd = load_state_dict("resnet34.pth")          # any torch pickle
+    params, stats = convert_resnet_encoder(sd)
+    variables = graft_encoder(model_variables, params, stats)
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint into numpy (torch is only needed here,
+    on the host, never on the TPU path)."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _bn(sd: Dict[str, np.ndarray], prefix: str):
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def convert_resnet_encoder(sd: Dict[str, np.ndarray]
+                           ) -> Tuple[dict, dict]:
+    """torchvision-ResNet or pretrainedmodels-SENet state_dict ->
+    (params, batch_stats) trees matching
+    salt_tpu.models.encoders.ResNetEncoder."""
+    senet = any(k.startswith("layer0.") for k in sd)
+    stem = "layer0." if senet else ""
+    params: dict = {}
+    stats: dict = {}
+
+    params["conv1"] = {"kernel": _conv(sd[f"{stem}conv1.weight"])}
+    bn_p, bn_s = _bn(sd, f"{stem}bn1")
+    params["bn1"], stats["bn1"] = {"BatchNorm_0": bn_p}, {"BatchNorm_0": bn_s}
+
+    for stage in range(1, 5):
+        i = 0
+        while f"layer{stage}.{i}.conv1.weight" in sd:
+            pre = f"layer{stage}.{i}"
+            name = f"layer{stage}_{i}"
+            block_p: dict = {}
+            block_s: dict = {}
+            for conv_id in (1, 2, 3):
+                ck = f"{pre}.conv{conv_id}.weight"
+                if ck not in sd:
+                    continue
+                block_p[f"conv{conv_id}"] = {"kernel": _conv(sd[ck])}
+                bp, bs = _bn(sd, f"{pre}.bn{conv_id}")
+                block_p[f"bn{conv_id}"] = {"BatchNorm_0": bp}
+                block_s[f"bn{conv_id}"] = {"BatchNorm_0": bs}
+            if f"{pre}.downsample.0.weight" in sd:
+                block_p["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{pre}.downsample.0.weight"])}
+                bp, bs = _bn(sd, f"{pre}.downsample.1")
+                block_p["downsample_bn"] = {"BatchNorm_0": bp}
+                block_s["downsample_bn"] = {"BatchNorm_0": bs}
+            if f"{pre}.se_module.fc1.weight" in sd:
+                block_p["se"] = {
+                    "fc1": {"kernel": _conv(sd[f"{pre}.se_module.fc1.weight"]),
+                            "bias": sd[f"{pre}.se_module.fc1.bias"]},
+                    "fc2": {"kernel": _conv(sd[f"{pre}.se_module.fc2.weight"]),
+                            "bias": sd[f"{pre}.se_module.fc2.bias"]},
+                }
+            params[name] = block_p
+            if block_s:
+                stats[name] = block_s
+            i += 1
+    return params, stats
+
+
+def graft_encoder(variables: dict, enc_params: dict, enc_stats: dict,
+                  scope: str = "encoder") -> dict:
+    """Replace the encoder subtree of a model's variables with converted
+    pretrained weights, after checking shape agreement leaf-by-leaf."""
+    import jax
+
+    def _check(tree_a, tree_b, path=""):
+        for k, v in tree_b.items():
+            if k not in tree_a:
+                raise KeyError(f"pretrained key {path}/{k} not in model")
+            if isinstance(v, dict):
+                _check(tree_a[k], v, f"{path}/{k}")
+            else:
+                want = np.shape(tree_a[k])
+                got = np.shape(v)
+                if want != got:
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: model {want}, "
+                        f"checkpoint {got}")
+
+    def _merge(tree_a, tree_b):
+        out = dict(tree_a)
+        for k, v in tree_b.items():
+            if isinstance(v, dict):
+                out[k] = _merge(tree_a[k], v)
+            else:
+                out[k] = np.asarray(v, dtype=np.asarray(tree_a[k]).dtype)
+        return out
+
+    new_vars = {k: dict(v) for k, v in variables.items()}
+    target_p = new_vars["params"]
+    target_s = new_vars.get("batch_stats", {})
+    if scope not in target_p:
+        raise KeyError(f"model has no {scope!r} scope; params keys: "
+                       f"{sorted(target_p)}")
+    _check(target_p[scope], enc_params)
+    new_vars["params"] = {**target_p, scope: _merge(target_p[scope],
+                                                    enc_params)}
+    if enc_stats:
+        _check(target_s[scope], enc_stats)
+        new_vars["batch_stats"] = {**target_s,
+                                   scope: _merge(target_s[scope], enc_stats)}
+    return new_vars

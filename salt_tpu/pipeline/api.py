@@ -123,7 +123,8 @@ def _predict_bundle(runner: SegmentationRunner, experiment: Experiment,
                     name: str, bundle: DataBundle) -> np.ndarray:
     state = _load_best(runner, experiment, name)
     depths = bundle.depths if runner.use_depth else None
-    return runner.predict_dataset(state, bundle.images, depths)
+    return runner.predict_dataset(state, bundle.images, depths,
+                                  tta=runner.config.postpro.use_tta)
 
 
 # ---------------------------------------------------------------------------

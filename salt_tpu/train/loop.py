@@ -124,6 +124,7 @@ def fit(runner: SegmentationRunner,
     for epoch_id in range(epochs):
         ctx["epoch_id"] = epoch_id
         callbacks.on_epoch_begin(ctx)
+        epoch_losses = []
         for batch_id, idx in enumerate(_batches(images.shape[0], bs,
                                                 cfg.execution.shuffle,
                                                 host_rng)):
@@ -134,12 +135,15 @@ def fit(runner: SegmentationRunner,
             img_d, msk_d, d_d = runner.device_batch(img, msk, d)
             step_key = jax.random.fold_in(base_key, epoch_id * 100003 + batch_id)
             state, loss = runner.train_step(state, img_d, msk_d, d_d, step_key)
+            epoch_losses.append(float(loss))
             ctx.update(state=state, batch_id=batch_id,
-                       batch_loss=float(loss))
+                       batch_loss=epoch_losses[-1])
             callbacks.on_batch_end(ctx)
             if "force_learning_rate" in ctx:
                 state = state.with_learning_rate(ctx.pop("force_learning_rate"))
                 ctx["state"] = state
+        ctx["train_loss"] = (float(np.mean(epoch_losses))
+                             if epoch_losses else None)
 
         # validation (reference: ValidationMonitor every epoch,
         # callbacks.py:489-497)

@@ -185,8 +185,37 @@ class SegmentationRunner:
             iout = jnp.where(both_empty, 1.0, jnp.mean(hits, axis=-1))
             return iou, iout
 
+        def predict_tta_step(params, batch_stats, images_u8, depths):
+            """Whole TTA pipeline as ONE graph: per-spec transform ->
+            preprocess -> forward -> sigmoid -> inverse-transform ->
+            aggregate -> crop. Replaces the reference's network_tta DAG
+            with its per-row dataset expansion and ThreadPool host
+            aggregation (reference: main.py:396-442, loaders.py:722-760).
+            Aggregation happens in network space BEFORE crop-back,
+            matching the reference's step order."""
+            from salt_tpu.ops.tta import (aggregate, build_tta_specs,
+                                          tta_inverse_transform,
+                                          tta_transform)
+            pp = self.config.postpro
+            specs = build_tta_specs(pp.tta_flip_ud, pp.tta_flip_lr,
+                                    pp.tta_rotation, pp.tta_color_shift_runs)
+            outs = []
+            for spec in specs:
+                xt = tta_transform(images_u8, spec)
+                x = self._infer_inputs(xt)
+                logits = self._apply(params, batch_stats, x, depths,
+                                     train=False)
+                probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+                probs = jnp.transpose(probs, (0, 3, 1, 2))
+                outs.append(tta_inverse_transform(probs, spec))
+            agg = aggregate(jnp.stack(outs), pp.tta_aggregation_method)
+            if self._pp["loader_mode"] == "resize_and_pad":
+                return crop_to_target(agg, self._img_hw)
+            return resize_hw(agg, self._img_hw)
+
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.predict_step = jax.jit(predict_step)
+        self.predict_tta_step = jax.jit(predict_tta_step)
         self.val_loss_step = jax.jit(val_loss_step)
         self.metrics_step = jax.jit(metrics_step)
 
@@ -196,8 +225,11 @@ class SegmentationRunner:
 
     def predict_dataset(self, state: TrainState, images: np.ndarray,
                         depths: Optional[np.ndarray] = None,
-                        batch_size: int = 0) -> np.ndarray:
-        """Batched inference over a packed dataset -> [N, 2, 101, 101]."""
+                        batch_size: int = 0, tta: bool = False) -> np.ndarray:
+        """Batched inference over a packed dataset -> [N, 2, 101, 101].
+        ``tta=True`` routes through the fused TTA graph (the reference's
+        network_tta pipeline, main.py:396-442)."""
+        step_fn = self.predict_tta_step if tta else self.predict_step
         bs = batch_size or self.config.training.batch_size_inference
         bs = max(bs // self.mesh.devices.size, 1) * self.mesh.devices.size
         n = images.shape[0]
@@ -216,6 +248,6 @@ class SegmentationRunner:
             else:
                 d = np.zeros((bs, 1), np.float32)
             db, dd = self.device_batch(batch, d)
-            probs = self.predict_step(state.params, state.batch_stats, db, dd)
+            probs = step_fn(state.params, state.batch_stats, db, dd)
             outs.append(np.asarray(probs)[:count])
         return np.concatenate(outs, axis=0)
