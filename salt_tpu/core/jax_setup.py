@@ -1,0 +1,28 @@
+"""Process-wide JAX configuration: persistent compilation cache.
+
+First compiles of the big train/eval graphs cost minutes on a
+remote-attached TPU; the on-disk executable cache makes every later
+process start warm (verified working with the axon PJRT backend).
+Called once from runner construction and the CLI.
+"""
+from __future__ import annotations
+
+import os
+
+_DONE = False
+
+
+def setup_jax(cache_dir: str = "") -> None:
+    global _DONE
+    if _DONE:
+        return
+    _DONE = True
+    import jax
+    cache_dir = (cache_dir or os.getenv("SALT_TPU_COMPILE_CACHE")
+                 or os.path.expanduser("~/.cache/salt_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:   # cache support is best-effort
+        pass

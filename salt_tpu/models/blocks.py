@@ -25,9 +25,16 @@ Dtype = Any
 
 def upsample2x(x: jax.Array, factor: int = 2) -> jax.Array:
     """Bilinear NHWC upsample (reference uses nn.Upsample/F.upsample
-    bilinear, base.py:70, unet.py:101-107)."""
+    bilinear, base.py:70, unet.py:101-107).
+
+    jax.image.resize, not matmul interpolation: an interleaved on-TPU
+    A/B of the full flagship graphs measured resize faster for
+    inference (66 vs 81 ms/TTA-batch) and identical for training
+    (85 ms/step both) — XLA's fused resize beats dense one-hot matmuls
+    end-to-end even though isolated microbenchmarks suggest otherwise."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * factor, w * factor, c), method="linear")
+    return jax.image.resize(x, (b, h * factor, w * factor, c),
+                            method="linear")
 
 
 class ConvBnRelu(nn.Module):

@@ -3,16 +3,18 @@
 Replaces the reference's imgaug/cv2 policies executed per-item in
 DataLoader workers (reference: common_blocks/augmentation.py:34-64
 ``affine_seq``/``intensity_seq``, dispatched at main.py:130-139) with a
-single vmapped, jitted batch transform. Differences by design:
+single batched, jitted transform. Differences by design:
 
 - determinism: the reference reseeds augmenters from time+pid
   (reference: utils.py:355-368), i.e. runs are irreproducible; here every
   stochastic choice derives from an explicit PRNG key.
-- geometry is composed into ONE warp: affine (rotate +-10deg, translate
-  +-5%), optional perspective (corner jitter, p=0.3), and optional
-  piecewise/elastic field (p=0.3) combine into a single coordinate map
-  and one bilinear gather per image (the reference warps the image
-  repeatedly through separate cv2/skimage passes).
+- geometry is composed into ONE warp: flip + affine (rotate +-10deg,
+  translate +-5%) + optional perspective (corner jitter, p=0.3) +
+  optional piecewise/elastic field (p=0.3) combine into a single
+  [B, H, W] coordinate map and ONE manual bilinear gather for the whole
+  batch (the reference warps each image repeatedly through separate
+  cv2/skimage passes). Everything is batched-first — no per-image vmap —
+  which keeps the XLA graph small (compiles in seconds, not minutes).
 - imgaug's SomeOf((1,2), [fliplr, sharpen, emboss, affine]) draws 1-2 of
   4 ops; we gate each candidate independently with p=0.375 (same expected
   op count). Bit-parity with imgaug is impossible anyway (time-seeded);
@@ -23,130 +25,143 @@ p=0.3, contrast-normalize p=0.3 (alpha in [0.5, 1.5]), then one of
 {noop, add +-10/255, add-elementwise, multiply x[0.95, 1.05],
 multiply-elementwise}.
 
-All functions take/return float images in [0, 1], shape [H, W] per image
-([B, H, W] for the batch API). Masks receive only the geometric ops.
+APIs take/return float images in [0, 1]: [B, H, W] batches. Masks
+receive only the geometric ops.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.ndimage import map_coordinates
 
 
 # ---------------------------------------------------------------------------
-# geometry: one composed coordinate map + one gather
+# batched bilinear sampling (one gather for the whole batch)
 # ---------------------------------------------------------------------------
 
-def _affine_params(key, h, w, rotate_deg=10.0, translate_frac=0.05):
-    k1, k2, k3 = jax.random.split(key, 3)
-    theta = jnp.deg2rad(jax.random.uniform(k1, (), minval=-rotate_deg,
+def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array
+                    ) -> jax.Array:
+    """Sample [B, H, W] images at float coords [B, H, W] with edge clamp
+    (cv2/imgaug 'edge'/'nearest' border semantics)."""
+    b, h, w = img.shape
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+
+    flat = img.reshape(b, h * w)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(b, h * w)
+        return jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+# ---------------------------------------------------------------------------
+# geometry: one composed [B, H, W] coordinate map
+# ---------------------------------------------------------------------------
+
+def _homography(dst: jax.Array, src: jax.Array) -> jax.Array:
+    """Batched 4-point homography: dst [4,2] (fixed corners) -> src
+    [B,4,2]. Returns [B,3,3] mapping dst coords to src coords."""
+    b = src.shape[0]
+    y, x = dst[:, 0], dst[:, 1]                       # [4]
+    sy, sx = src[..., 0], src[..., 1]                 # [B,4]
+    zeros = jnp.zeros((b, 4))
+    ones = jnp.ones((b, 4))
+    yb = jnp.broadcast_to(y, (b, 4))
+    xb = jnp.broadcast_to(x, (b, 4))
+    row1 = jnp.stack([yb, xb, ones, zeros, zeros, zeros,
+                      -yb * sy, -xb * sy], axis=-1)   # [B,4,8]
+    row2 = jnp.stack([zeros, zeros, zeros, yb, xb, ones,
+                      -yb * sx, -xb * sx], axis=-1)
+    A = jnp.concatenate([row1, row2], axis=1)         # [B,8,8]
+    rhs = jnp.concatenate([sy, sx], axis=1)           # [B,8]
+    hvec = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+    return jnp.concatenate([hvec, jnp.ones((b, 1))],
+                           axis=1).reshape(b, 3, 3)
+
+
+def make_warp_coords(key, b: int, h: int, w: int,
+                     p_flip: float = 0.375, p_affine: float = 0.375,
+                     p_perspective: float = 0.3, p_piecewise: float = 0.3,
+                     rotate_deg: float = 10.0, translate_frac: float = 0.05,
+                     persp_scale: Tuple[float, float] = (0.05, 0.10),
+                     elastic_scale: Tuple[float, float] = (0.04, 0.08),
+                     elastic_grid: int = 5):
+    """Compose all geometric ops into source coordinates [B, H, W]x2."""
+    kf, ka1, ka2, ka3, kp1, kp2, ke1, ke2 = jax.random.split(key, 8)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2)
+
+    # flip (folds into the coordinate map)
+    do_flip = jax.random.bernoulli(kf, p_flip, (b, 1, 1))
+    xs = jnp.where(do_flip, (w - 1) - xs, xs)
+
+    # affine: rotation about center + x-translation
+    # (reference: augmentation.py:40-42 rotates +-10deg, translates x only)
+    do_aff = jax.random.bernoulli(ka1, p_affine, (b, 1, 1))
+    theta = jnp.deg2rad(jax.random.uniform(ka2, (b, 1, 1),
+                                           minval=-rotate_deg,
                                            maxval=rotate_deg))
-    tx = jax.random.uniform(k2, (), minval=-translate_frac,
+    tx = jax.random.uniform(ka3, (b, 1, 1), minval=-translate_frac,
                             maxval=translate_frac) * w
-    # reference affine translates x only (augmentation.py:40-42)
-    return theta, tx
-
-
-def _rot_translate_coords(ys, xs, theta, tx, h, w):
-    """Inverse-map output grid coords through rotation-about-center +
-    x-translation."""
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     cos, sin = jnp.cos(theta), jnp.sin(theta)
     y0 = ys - cy
     x0 = xs - cx - tx
-    src_y = cos * y0 + sin * x0 + cy
-    src_x = -sin * y0 + cos * x0 + cx
-    return src_y, src_x
+    ys = jnp.where(do_aff, cos * y0 + sin * x0 + cy, ys)
+    xs = jnp.where(do_aff, -sin * y0 + cos * x0 + cx, xs)
 
-
-def _perspective_coords(key, ys, xs, h, w, scale_lo=0.05, scale_hi=0.10):
-    """Corner-jitter homography (reference: augmentation.py:47
-    PerspectiveTransform(scale=(0.05, 0.1)); cv2 semantics via the
-    monkey-patch at augmentation.py:9-32). Returns inverse-mapped
-    source coordinates for the output grid."""
-    k1, k2 = jax.random.split(key)
-    scale = jax.random.uniform(k1, (), minval=scale_lo, maxval=scale_hi)
-    jitter = jax.random.normal(k2, (4, 2)) * scale * jnp.array([h, w])
-    dst = jnp.array([[0.0, 0.0], [0.0, w - 1], [h - 1, 0.0],
-                     [h - 1, w - 1]])
-    src = dst + jitter
-    # solve homography mapping dst -> src (8 unknowns)
-    def rows(d, s):
-        y, x = d
-        sy, sx = s
-        return jnp.array([
-            [y, x, 1, 0, 0, 0, -y * sy, -x * sy],
-            [0, 0, 0, y, x, 1, -y * sx, -x * sx],
-        ]), jnp.array([sy, sx])
-    A_rows, b_rows = jax.vmap(rows)(dst, src)
-    A = A_rows.reshape(8, 8)
-    b = b_rows.reshape(8)
-    hvec = jnp.linalg.solve(A, b)
-    H = jnp.concatenate([hvec, jnp.ones(1)]).reshape(3, 3)
-    denom = H[2, 0] * ys + H[2, 1] * xs + H[2, 2]
-    src_y = (H[0, 0] * ys + H[0, 1] * xs + H[0, 2]) / denom
-    src_x = (H[1, 0] * ys + H[1, 1] * xs + H[1, 2]) / denom
-    return src_y, src_x
-
-
-def _elastic_field(key, h, w, scale_lo=0.04, scale_hi=0.08, grid=5):
-    """Smooth displacement field ~ imgaug PiecewiseAffine(scale=(0.04,
-    0.08)) (reference: augmentation.py:46): coarse random offsets on a
-    grid, bilinearly upsampled."""
-    k1, k2 = jax.random.split(key)
-    scale = jax.random.uniform(k1, (), minval=scale_lo, maxval=scale_hi)
-    coarse = jax.random.normal(k2, (2, grid, grid)) * scale * jnp.array(
-        [h, w]).reshape(2, 1, 1) * 0.5
-    field = jax.image.resize(coarse, (2, h, w), method="linear")
-    return field[0], field[1]
-
-
-def geometric_warp(key, img: jax.Array, mask: Optional[jax.Array],
-                   p_affine: float = 0.375, p_flip: float = 0.375,
-                   p_perspective: float = 0.3, p_piecewise: float = 0.3
-                   ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Compose flip + affine + perspective + elastic into one gather."""
-    h, w = img.shape[-2], img.shape[-1]
-    kf, ka, kp, ke, kg = jax.random.split(key, 5)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-
-    # flip (applied to the coordinate map so it fuses with the warp)
-    do_flip = jax.random.bernoulli(kf, p_flip)
-    xs = jnp.where(do_flip, (w - 1) - xs, xs)
-
-    # affine
-    do_aff = jax.random.bernoulli(ka, p_affine)
-    theta, tx = _affine_params(jax.random.fold_in(ka, 1), h, w)
-    ys_a, xs_a = _rot_translate_coords(ys, xs, theta, tx, h, w)
-    ys = jnp.where(do_aff, ys_a, ys)
-    xs = jnp.where(do_aff, xs_a, xs)
-
-    # perspective
-    do_persp = jax.random.bernoulli(kp, p_perspective)
-    ys_p, xs_p = _perspective_coords(jax.random.fold_in(kp, 1), ys, xs, h, w)
+    # perspective: jittered-corner homography (reference:
+    # augmentation.py:47 PerspectiveTransform(scale=(0.05, 0.1)))
+    do_persp = jax.random.bernoulli(kp1, p_perspective, (b, 1, 1))
+    scale = jax.random.uniform(kp2, (b, 1, 1), minval=persp_scale[0],
+                               maxval=persp_scale[1])
+    jitter = (jax.random.normal(jax.random.fold_in(kp2, 1), (b, 4, 2))
+              * scale.reshape(b, 1, 1) * jnp.array([h, w]))
+    dst = jnp.array([[0.0, 0.0], [0.0, w - 1.0], [h - 1.0, 0.0],
+                     [h - 1.0, w - 1.0]])
+    H = _homography(dst, dst[None] + jitter)          # [B,3,3]
+    denom = H[:, 2, 0, None, None] * ys + H[:, 2, 1, None, None] * xs \
+        + H[:, 2, 2, None, None]
+    ys_p = (H[:, 0, 0, None, None] * ys + H[:, 0, 1, None, None] * xs
+            + H[:, 0, 2, None, None]) / denom
+    xs_p = (H[:, 1, 0, None, None] * ys + H[:, 1, 1, None, None] * xs
+            + H[:, 1, 2, None, None]) / denom
     ys = jnp.where(do_persp, ys_p, ys)
     xs = jnp.where(do_persp, xs_p, xs)
 
-    # piecewise/elastic
-    do_pw = jax.random.bernoulli(ke, p_piecewise)
-    dy, dx = _elastic_field(jax.random.fold_in(ke, 1), h, w)
-    ys = jnp.where(do_pw, ys + dy, ys)
-    xs = jnp.where(do_pw, xs + dx, xs)
-
-    coords = jnp.stack([ys, xs])
-    warped = map_coordinates(img, coords, order=1, mode="nearest")
-    warped_mask = None
-    if mask is not None:
-        warped_mask = map_coordinates(mask, coords, order=1, mode="nearest")
-    return warped, warped_mask
+    # piecewise/elastic: coarse displacement grid, bilinearly upsampled
+    # (~ imgaug PiecewiseAffine(scale=(0.04, 0.08)), augmentation.py:46)
+    do_pw = jax.random.bernoulli(ke1, p_piecewise, (b, 1, 1))
+    e_scale = jax.random.uniform(jax.random.fold_in(ke1, 1), (b, 1, 1, 1),
+                                 minval=elastic_scale[0],
+                                 maxval=elastic_scale[1])
+    coarse = (jax.random.normal(ke2, (b, 2, elastic_grid, elastic_grid))
+              * e_scale * jnp.array([h, w]).reshape(1, 2, 1, 1) * 0.5)
+    field = jax.image.resize(coarse, (b, 2, h, w), method="linear")
+    ys = jnp.where(do_pw, ys + field[:, 0], ys)
+    xs = jnp.where(do_pw, xs + field[:, 1], xs)
+    return ys, xs
 
 
 # ---------------------------------------------------------------------------
-# kernel filters (sharpen / emboss, image only)
+# kernel filters (sharpen / emboss, image only) — batched convs
 # ---------------------------------------------------------------------------
 
 _SHARPEN_K = jnp.array([[-1, -1, -1], [-1, 17, -1], [-1, -1, -1]],
@@ -155,42 +170,49 @@ _EMBOSS_K = jnp.array([[-1, -1, 0], [-1, 1, 1], [0, 1, 1]], jnp.float32)
 
 
 def _conv3(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    x = img[None, :, :, None]
+    x = img[..., None]                                # [B,H,W,1]
     k = kernel[:, :, None, None]
     out = jax.lax.conv_general_dilated(
         x, k, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return out[0, :, :, 0]
+    return out[..., 0]
 
 
 def filter_ops(key, img: jax.Array, p_sharpen: float = 0.375,
                p_emboss: float = 0.375) -> jax.Array:
-    """Sharpen(alpha=.5)/Emboss(alpha=.5, strength=1)
-    (reference: augmentation.py:38-39); alpha blends with the input."""
+    """Sharpen(alpha=.5)/Emboss(alpha=.5, strength=1) per image
+    (reference: augmentation.py:38-39)."""
+    b = img.shape[0]
     ks, ke = jax.random.split(key)
     sharp = 0.5 * img + 0.5 * _conv3(img, _SHARPEN_K)
-    img = jnp.where(jax.random.bernoulli(ks, p_sharpen), sharp, img)
+    gate_s = jax.random.bernoulli(ks, p_sharpen, (b, 1, 1))
+    img = jnp.where(gate_s, sharp, img)
     emb = 0.5 * img + 0.5 * jnp.clip(_conv3(img, _EMBOSS_K) + 0.5, 0, 1)
-    img = jnp.where(jax.random.bernoulli(ke, p_emboss), emb, img)
+    gate_e = jax.random.bernoulli(ke, p_emboss, (b, 1, 1))
+    img = jnp.where(gate_e, emb, img)
     return jnp.clip(img, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
-# intensity policy (image only)
+# intensity policy (image only), per-image params via broadcasting
 # ---------------------------------------------------------------------------
 
 def intensity_ops(key, img: jax.Array) -> jax.Array:
     """reference: augmentation.py:50-64 ``intensity_seq``."""
-    k_inv, k_cn, k_cna, k_pick, k_val, k_noise = jax.random.split(key, 6)
-    img = jnp.where(jax.random.bernoulli(k_inv, 0.3), 1.0 - img, img)
-    alpha = jax.random.uniform(k_cna, (), minval=0.5, maxval=1.5)
+    b = img.shape[0]
+    k_inv, k_cn, k_cna, k_pick, k_add, k_mul, k_noise = jax.random.split(key, 7)
+    inv_gate = jax.random.bernoulli(k_inv, 0.3, (b, 1, 1))
+    img = jnp.where(inv_gate, 1.0 - img, img)
+    alpha = jax.random.uniform(k_cna, (b, 1, 1), minval=0.5, maxval=1.5)
     contrasted = jnp.clip((img - 0.5) * alpha + 0.5, 0.0, 1.0)
-    img = jnp.where(jax.random.bernoulli(k_cn, 0.3), contrasted, img)
+    cn_gate = jax.random.bernoulli(k_cn, 0.3, (b, 1, 1))
+    img = jnp.where(cn_gate, contrasted, img)
 
-    # OneOf{noop x4-weighted-as-half, add, add_elem, mul, mul_elem}
-    branch = jax.random.randint(k_pick, (), 0, 8)   # 0-3 noop (p=0.5)
-    add_v = jax.random.uniform(k_val, (), minval=-10 / 255, maxval=10 / 255)
-    mul_v = jax.random.uniform(k_val, (), minval=0.95, maxval=1.05)
+    # OneOf{noop (p=1/2), add, add_elementwise, multiply, mul_elementwise}
+    branch = jax.random.randint(k_pick, (b, 1, 1), 0, 8)
+    add_v = jax.random.uniform(k_add, (b, 1, 1), minval=-10 / 255,
+                               maxval=10 / 255)
+    mul_v = jax.random.uniform(k_mul, (b, 1, 1), minval=0.95, maxval=1.05)
     noise = jax.random.uniform(k_noise, img.shape, minval=-1.0, maxval=1.0)
     img = jnp.where(branch == 4, img + add_v, img)
     img = jnp.where(branch == 5, img + noise * (10 / 255), img)
@@ -204,23 +226,45 @@ def intensity_ops(key, img: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def augment_image(key, img: jax.Array, mask: Optional[jax.Array] = None):
-    """Full training policy for one [H, W] image (+mask)."""
-    kg, kf, ki = jax.random.split(key, 3)
-    img, mask = geometric_warp(kg, img, mask)
-    img = filter_ops(kf, img)
-    img = intensity_ops(ki, img)
-    return img, mask
+    """Single-image convenience wrapper over the batched path."""
+    img_b = img[None]
+    mask_b = mask[None] if mask is not None else None
+    out_i, out_m = augment_batch(key, img_b,
+                                 mask_b if mask_b is not None
+                                 else jnp.zeros_like(img_b))
+    return out_i[0], (out_m[0] if mask is not None else None)
+
+
+def geometric_warp(key, img: jax.Array, mask: Optional[jax.Array] = None):
+    """Geometric ops only, single image (kept for tests/TTA reuse)."""
+    ys, xs = make_warp_coords(key, 1, img.shape[-2], img.shape[-1])
+    out = bilinear_sample(img[None], ys, xs)[0]
+    out_m = None
+    if mask is not None:
+        out_m = bilinear_sample(mask[None], ys, xs)[0]
+    return out, out_m
 
 
 @jax.jit
 def augment_batch(rng, images: jax.Array, masks: jax.Array):
-    """vmapped policy over [B, H, W] float images + masks."""
-    keys = jax.random.split(rng, images.shape[0])
-    return jax.vmap(augment_image)(keys, images, masks)
+    """Full training policy over [B, H, W] float images + masks: one
+    composed warp (geometry shared by image & mask), then image-only
+    filters + intensity ops."""
+    b, h, w = images.shape
+    kg, kf, ki = jax.random.split(rng, 3)
+    ys, xs = make_warp_coords(kg, b, h, w)
+    out_i = bilinear_sample(images, ys, xs)
+    out_m = bilinear_sample(masks, ys, xs)
+    out_i = filter_ops(kf, out_i)
+    out_i = intensity_ops(ki, out_i)
+    return out_i, out_m
 
 
 @jax.jit
 def augment_batch_images(rng, images: jax.Array):
-    keys = jax.random.split(rng, images.shape[0])
-    aug = jax.vmap(lambda k, im: augment_image(k, im)[0])(keys, images)
-    return aug
+    b, h, w = images.shape
+    kg, kf, ki = jax.random.split(rng, 3)
+    ys, xs = make_warp_coords(kg, b, h, w)
+    out = bilinear_sample(images, ys, xs)
+    out = filter_ops(kf, out)
+    return intensity_ops(ki, out)

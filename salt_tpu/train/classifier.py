@@ -34,6 +34,8 @@ class ClassifierRunner:
     """EmptinessClassifier training/inference bundle."""
 
     def __init__(self, config: Config, mesh=None):
+        from salt_tpu.core.jax_setup import setup_jax
+        setup_jax()
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
             config.parallel.n_devices)

@@ -49,11 +49,21 @@ def make_optimizer(lr: float, weight_decay: float = 0.0):
 
 def create_train_state(model, rng, sample_input, tx,
                        sample_depth=None) -> TrainState:
-    """Initialize params/batch_stats by tracing the model once."""
+    """Initialize params/batch_stats by tracing the model once.
+
+    The init is jitted: un-jitted flax init executes every parameter
+    initializer as a separate device dispatch, which costs minutes on a
+    remote-attached TPU (measured 158s for ResNet34-UNet vs seconds
+    jitted)."""
     args = (sample_input,) if sample_depth is None else (sample_input,
                                                          sample_depth)
-    variables = model.init({"params": rng, "dropout": rng}, *args,
-                           train=False)
+
+    @jax.jit
+    def _init(rng):
+        return model.init({"params": rng, "dropout": rng}, *args,
+                          train=False)
+
+    variables = _init(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(step=jax.numpy.zeros((), jax.numpy.int32),

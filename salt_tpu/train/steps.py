@@ -45,6 +45,8 @@ class SegmentationRunner:
     reference: models.py:67-286)."""
 
     def __init__(self, config: Config, mesh=None):
+        from salt_tpu.core.jax_setup import setup_jax
+        setup_jax()
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh(
             config.parallel.n_devices)
@@ -186,28 +188,31 @@ class SegmentationRunner:
             return iou, iout
 
         def predict_tta_step(params, batch_stats, images_u8, depths):
-            """Whole TTA pipeline as ONE graph: per-spec transform ->
-            preprocess -> forward -> sigmoid -> inverse-transform ->
-            aggregate -> crop. Replaces the reference's network_tta DAG
-            with its per-row dataset expansion and ThreadPool host
-            aggregation (reference: main.py:396-442, loaders.py:722-760).
-            Aggregation happens in network space BEFORE crop-back,
-            matching the reference's step order."""
+            """Whole TTA pipeline as ONE graph: all spec variants
+            concatenate into a single [T*B] batch for ONE forward pass
+            (better MXU utilization than per-spec passes), then
+            inverse-transform, aggregate, crop. Replaces the reference's
+            network_tta DAG with its per-row dataset expansion and
+            ThreadPool host aggregation (reference: main.py:396-442,
+            loaders.py:722-760). Aggregation happens in network space
+            BEFORE crop-back, matching the reference's step order."""
             from salt_tpu.ops.tta import (aggregate, build_tta_specs,
                                           tta_inverse_transform,
                                           tta_transform)
             pp = self.config.postpro
             specs = build_tta_specs(pp.tta_flip_ud, pp.tta_flip_lr,
                                     pp.tta_rotation, pp.tta_color_shift_runs)
-            outs = []
-            for spec in specs:
-                xt = tta_transform(images_u8, spec)
-                x = self._infer_inputs(xt)
-                logits = self._apply(params, batch_stats, x, depths,
-                                     train=False)
-                probs = jax.nn.sigmoid(logits.astype(jnp.float32))
-                probs = jnp.transpose(probs, (0, 3, 1, 2))
-                outs.append(tta_inverse_transform(probs, spec))
+            b = images_u8.shape[0]
+            big = jnp.concatenate([tta_transform(images_u8, s)
+                                   for s in specs], axis=0)
+            x = self._infer_inputs(big)
+            d = (jnp.concatenate([depths] * len(specs), axis=0)
+                 if depths is not None else None)
+            logits = self._apply(params, batch_stats, x, d, train=False)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            probs = jnp.transpose(probs, (0, 3, 1, 2))       # [T*B,2,H,W]
+            outs = [tta_inverse_transform(probs[i * b:(i + 1) * b], s)
+                    for i, s in enumerate(specs)]
             agg = aggregate(jnp.stack(outs), pp.tta_aggregation_method)
             if self._pp["loader_mode"] == "resize_and_pad":
                 return crop_to_target(agg, self._img_hw)
