@@ -60,6 +60,9 @@ def main(argv=None):
                         metavar="SECTION.FIELD=VALUE",
                         help="config overrides, e.g. "
                              "--set model.architecture=PSPNet")
+    parser.add_argument("--profile", default="", metavar="DIR",
+                        help="capture a jax profiler trace of the run "
+                             "into DIR (TensorBoard format)")
     args = parser.parse_args(argv)
 
     # SALT_TPU_PLATFORM=cpu forces the CPU backend (useful for smoke
@@ -105,6 +108,17 @@ def main(argv=None):
     experiment = _build_experiment(cfg)
     train_b, test_b = _bundles(cfg, args.synthetic)
 
+    profiling = False
+    if args.profile:
+        # deeper tracing than the reference's wall-clock-only
+        # ExperimentTiming (reference: callbacks.py:278-324)
+        try:
+            import jax
+            jax.profiler.start_trace(args.profile)
+            profiling = True
+        except Exception as e:   # profiler support varies by backend
+            print(f"profiler unavailable: {e}")
+
     if args.command == "train":
         api.train(cfg, experiment, train_b)
     elif args.command == "evaluate":
@@ -147,6 +161,10 @@ def main(argv=None):
         print(stacking.train_evaluate_stacking(cfg, experiment, bundle, cube,
                                                test_cube,
                                                test_bundle_aligned))
+    if profiling:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"profiler trace saved to {args.profile}")
     return 0
 
 

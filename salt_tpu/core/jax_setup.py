@@ -21,6 +21,10 @@ def setup_jax(cache_dir: str = "") -> None:
     cache_dir = (cache_dir or os.getenv("SALT_TPU_COMPILE_CACHE")
                  or os.path.expanduser("~/.cache/salt_tpu_xla"))
     try:
+        # per-platform subdir: a CPU AOT result loaded into a process
+        # with different target features can SIGILL
+        platform = jax.devices()[0].platform
+        cache_dir = os.path.join(cache_dir, platform)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

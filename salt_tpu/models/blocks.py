@@ -96,12 +96,17 @@ class ChannelSELayer(nn.Module):
 
 
 class SpatialSELayer(nn.Module):
-    """Squeeze-and-excitation over space (reference: base.py:107-117)."""
+    """Squeeze-and-excitation over space (reference: base.py:107-117).
+
+    The 1x1 conv-to-1-channel is expressed as a Dense over the channel
+    axis (identical math): jax cannot batch a grouped conv with
+    out_features=1 when parameters are vmapped (fold-parallel training
+    stacks params along a fold axis)."""
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(1, (1, 1), dtype=self.dtype)(x)
+        y = nn.Dense(1, dtype=self.dtype)(x)
         y = nn.sigmoid(y)
         return x * y
 

@@ -100,6 +100,21 @@ def calculate_scores(y_true, y_pred) -> Tuple[float, float]:
     return float(np.mean(per_iou)), float(np.mean(per_iout))
 
 
+def _with_auxiliary(config: Config, train_b: DataBundle,
+                    valid_b: DataBundle,
+                    aux: Optional[DataBundle]) -> DataBundle:
+    """USE_AUXILIARY_DATA: concat small-mask crops whose SOURCE image is
+    in the fold's validation split (reference: main.py:464-467)."""
+    if not config.execution.use_auxiliary_data or aux is None or not len(aux):
+        return train_b
+    from salt_tpu.data.auxiliary import (auxiliary_rows_for_fold,
+                                         concat_bundles)
+    picked = auxiliary_rows_for_fold(aux, valid_b.meta["id"].tolist())
+    logger.info("auxiliary data: adding %d crops to the train split",
+                len(picked))
+    return concat_bundles(train_b, picked)
+
+
 def _fit_fold(config: Config, experiment: Experiment, name: str,
               train_b: DataBundle, valid_b: DataBundle,
               runner: Optional[SegmentationRunner] = None
@@ -131,12 +146,13 @@ def _predict_bundle(runner: SegmentationRunner, experiment: Experiment,
 # entry points (reference: main.py:454-575)
 # ---------------------------------------------------------------------------
 
-def train(config: Config, experiment: Experiment, bundle: DataBundle
-          ) -> SegmentationRunner:
+def train(config: Config, experiment: Experiment, bundle: DataBundle,
+          aux: Optional[DataBundle] = None) -> SegmentationRunner:
     """Single-fold training on the first depth-stratified fold
     (reference: main.py:454-488)."""
     train_idx, valid_idx = _first_fold(config, bundle)
     train_b, valid_b = bundle.take(train_idx), bundle.take(valid_idx)
+    train_b = _with_auxiliary(config, train_b, valid_b, aux)
     if config.execution.dev_mode:
         train_b = train_b.dev_sample(config.execution.dev_mode_size,
                                      config.execution.seed)
@@ -189,13 +205,39 @@ def predict(config: Config, experiment: Experiment, test_bundle: DataBundle,
 # ---------------------------------------------------------------------------
 
 def _cv_loop(config: Config, experiment: Experiment, bundle: DataBundle,
-             test_bundle: Optional[DataBundle], do_train: bool):
+             test_bundle: Optional[DataBundle], do_train: bool,
+             aux: Optional[DataBundle] = None):
     cv = KFoldBySortedValue(n_splits=config.execution.n_cv_splits)
     fold_iou, fold_iout = [], []
     oof_ids: List[str] = []
     oof_images: List[np.ndarray] = []
     test_preds: List[np.ndarray] = []
     runner = SegmentationRunner(config)
+    if config.execution.use_auxiliary_data and aux is None and do_train:
+        from salt_tpu.data.auxiliary import generate_auxiliary_bundle
+        aux = generate_auxiliary_bundle(bundle)
+        logger.info("generated %d auxiliary small-mask crops", len(aux))
+
+    if do_train and config.parallel.fold_parallel:
+        # train ALL folds simultaneously (fold axis over the mesh) —
+        # per-fold best checkpoints land in the standard layout, so the
+        # evaluation half below is unchanged
+        from salt_tpu.parallel.fold_parallel import fit_fold_parallel
+        splits = list(cv.split(bundle.meta["z"].values))
+        fold_train, fold_valid, names = [], [], []
+        for fold_id, (tr, va) in enumerate(splits):
+            t = _with_auxiliary(config, bundle.take(tr), bundle.take(va), aux)
+            v = bundle.take(va)
+            use_depth = runner.use_depth
+            fold_train.append((t.images, t.masks,
+                               t.depths if use_depth else None))
+            fold_valid.append((v.images, v.masks,
+                               v.depths if use_depth else None))
+            names.append(add_fold_suffix(NETWORK, fold_id))
+        fit_fold_parallel(config, fold_train, valid_data=fold_valid,
+                          experiment=experiment, checkpoint_names=names,
+                          seed=config.execution.seed)
+        do_train = False   # evaluation below loads the saved checkpoints
 
     for fold_id, (train_idx, valid_idx) in enumerate(
             cv.split(bundle.meta["z"].values)):
@@ -203,8 +245,9 @@ def _cv_loop(config: Config, experiment: Experiment, bundle: DataBundle,
         train_b, valid_b = bundle.take(train_idx), bundle.take(valid_idx)
         logger.info("Started fold %d", fold_id)
         if do_train:
-            _fit_fold(config, experiment, name, train_b, valid_b,
-                      runner=runner)
+            _fit_fold(config, experiment, name,
+                      _with_auxiliary(config, train_b, valid_b, aux),
+                      valid_b, runner=runner)
         probs_valid = _predict_bundle(runner, experiment, name, valid_b)
         y_pred = _binarize(probs_valid, config.postpro.threshold_masks)
         iou, iout = calculate_scores(list(valid_b.masks), y_pred)

