@@ -7,6 +7,11 @@ the probability maps, binarizes, and writes an ensemble submission CSV.
 Usage:
     python examples/prediction_average.py out.csv expA expB [expC ...]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -8,6 +8,11 @@ by ground-truth mask size, and prints/plots where the model loses score
 Usage:
     python examples/result_exploration.py <experiment_dir> [--synthetic N]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 
