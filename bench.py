@@ -77,7 +77,7 @@ def main():
     cfg.model.architecture = "UNetResNet"
     cfg.training.dtype = "bfloat16"
     cfg.training.batch_size_inference = 64
-    cfg.training.batch_size_train = 32
+    cfg.training.batch_size_train = 128
 
     runner = SegmentationRunner(cfg)
     state = runner.init_state(0)
