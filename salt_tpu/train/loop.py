@@ -29,12 +29,12 @@ from salt_tpu.train.steps import SWEEP_THRESHOLDS, SegmentationRunner
 logger = get_logger()
 
 
+from salt_tpu.data.pipeline import batch_indices as _batches_idx
+from salt_tpu.data.pipeline import prefetch_to_device
+
+
 def _batches(n: int, batch_size: int, shuffle: bool, rng: np.random.RandomState):
-    idx = np.arange(n)
-    if shuffle:
-        rng.shuffle(idx)
-    for lo in range(0, n - batch_size + 1, batch_size):
-        yield idx[lo:lo + batch_size]
+    yield from _batches_idx(n, batch_size, shuffle, rng)
 
 
 def validate(runner: SegmentationRunner, state: TrainState,
@@ -125,14 +125,20 @@ def fit(runner: SegmentationRunner,
         ctx["epoch_id"] = epoch_id
         callbacks.on_epoch_begin(ctx)
         epoch_losses = []
-        for batch_id, idx in enumerate(_batches(images.shape[0], bs,
-                                                cfg.execution.shuffle,
-                                                host_rng)):
-            img = images[idx]
-            msk = masks[idx]
-            d = (depths[idx].reshape(-1, 1).astype(np.float32)
-                 if depths is not None else np.zeros((bs, 1), np.float32))
-            img_d, msk_d, d_d = runner.device_batch(img, msk, d)
+
+        def host_batches():
+            for idx in _batches(images.shape[0], bs, cfg.execution.shuffle,
+                                host_rng):
+                d = (depths[idx].reshape(-1, 1).astype(np.float32)
+                     if depths is not None
+                     else np.zeros((bs, 1), np.float32))
+                yield images[idx], masks[idx], d
+
+        # double-buffered device feed: next batch transfers while the
+        # current step computes (reference: DataLoader workers +
+        # pin_memory, main.py:98-107)
+        for batch_id, (img_d, msk_d, d_d) in enumerate(
+                prefetch_to_device(host_batches(), runner.device_batch)):
             step_key = jax.random.fold_in(base_key, epoch_id * 100003 + batch_id)
             state, loss = runner.train_step(state, img_d, msk_d, d_d, step_key)
             epoch_losses.append(float(loss))
