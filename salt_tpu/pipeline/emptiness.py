@@ -143,6 +143,18 @@ def train_evaluate_predict_cv(config: Config, experiment: Experiment,
     return scores
 
 
+def resize_emptiness_predictions(probs: np.ndarray,
+                                 target_size=(101, 101)) -> np.ndarray:
+    """Expand per-image class probabilities [2] into constant [2, H, W]
+    maps (reference: postprocessing.py:46-61) — the format the reference
+    persists emptiness predictions in for downstream ensembling."""
+    probs = np.asarray(probs)
+    out = np.zeros((probs.shape[0], 2, *target_size), probs.dtype)
+    out[:, 0] = probs[:, 0, None, None]
+    out[:, 1] = probs[:, 1, None, None]
+    return out
+
+
 def apply_emptiness_gating(seg_probs: np.ndarray,
                            emptiness_probs: np.ndarray,
                            threshold: float = 0.5) -> np.ndarray:
