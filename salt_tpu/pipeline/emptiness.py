@@ -143,6 +143,29 @@ def train_evaluate_predict_cv(config: Config, experiment: Experiment,
     return scores
 
 
+def evaluate_cv(config: Config, experiment: Experiment, bundle: DataBundle
+                ) -> Dict:
+    """Eval-only CV over persisted fold classifiers
+    (reference: empty_vs_non_empty.py:466-535)."""
+    cfg = _classifier_config(config)
+    cv = KFoldBySortedValue(n_splits=cfg.execution.n_cv_splits)
+    runner = ClassifierRunner(cfg)
+    fold_auc = []
+    for fold_id, (_, valid_idx) in enumerate(
+            cv.split(bundle.meta["z"].values)):
+        valid_b = bundle.take(valid_idx)
+        state = _load_best(runner, experiment,
+                           add_fold_suffix(NETWORK, fold_id))
+        probs = runner.predict_dataset(state, valid_b.images)
+        auc = roc_auc(_labels(valid_b), probs[:, 1])
+        logger.info("Fold %d AUC %s", fold_id, auc)
+        fold_auc.append(auc)
+    scores = {"auc_mean": float(np.mean(fold_auc)),
+              "auc_std": float(np.std(fold_auc)), "fold_auc": fold_auc}
+    experiment.save_json("emptiness_cv_scores", scores)
+    return scores
+
+
 def resize_emptiness_predictions(probs: np.ndarray,
                                  target_size=(101, 101)) -> np.ndarray:
     """Expand per-image class probabilities [2] into constant [2, H, W]
