@@ -52,6 +52,9 @@ def main(argv=None):
                              "'parameters:' layout); falls back to "
                              "CONFIG_PATH env var")
     parser.add_argument("--dev-mode", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue training from the 'last' checkpoint "
+                             "(restores optimizer state + epoch)")
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="run on N generated synthetic images instead "
                              "of reading the data dirs")
@@ -92,6 +95,8 @@ def main(argv=None):
     cfg = load_config(args.config, overrides)
     if args.dev_mode:
         cfg.execution.dev_mode = True
+    if args.resume:
+        cfg.execution.resume = True
     if args.epochs is not None:
         cfg.training.epochs = args.epochs
 

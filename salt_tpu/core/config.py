@@ -48,6 +48,7 @@ class ExecutionConfig:
     use_auxiliary_data: bool = False      # main.py:44 USE_AUXILIARY_DATA
     second_level: bool = False            # main.py:42 SECOND_LEVEL (stacking)
     fine_tuning: bool = False             # neptune.yaml:40
+    resume: bool = False                  # continue from the 'last' checkpoint
     num_workers: int = 4                  # host prefetch threads
     prefetch_buffers: int = 2             # double-buffered device feed
 

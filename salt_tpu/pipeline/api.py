@@ -88,6 +88,23 @@ def _load_best(runner: SegmentationRunner, experiment: Experiment,
                          batch_stats=restored["batch_stats"])
 
 
+def load_last(runner: SegmentationRunner, experiment: Experiment,
+              name: str):
+    """Restore the crash-recovery checkpoint INCLUDING optimizer state;
+    returns (state, next_epoch)."""
+    import jax.numpy as jnp
+    state = runner.init_state(runner.config.execution.seed)
+    like = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+    restored = experiment.load_params(name, like, tag="last")
+    meta = experiment.load_meta(name, tag="last")
+    state = state.replace(params=restored["params"],
+                          batch_stats=restored["batch_stats"],
+                          opt_state=restored["opt_state"],
+                          step=jnp.asarray(restored["step"]))
+    return state, int(meta.get("epoch", -1)) + 1
+
+
 def _binarize(probs: np.ndarray, threshold: float) -> List[np.ndarray]:
     """Channel-1 thresholding (reference: postprocessing.py:41-43)."""
     return [(p[1] > threshold).astype(np.uint8) for p in probs]
@@ -121,7 +138,13 @@ def _fit_fold(config: Config, experiment: Experiment, name: str,
               ) -> SegmentationRunner:
     runner = runner or SegmentationRunner(config)
     state = None
-    if config.execution.fine_tuning and experiment.has_checkpoint(name):
+    start_epoch = 0
+    if (config.execution.resume
+            and experiment.has_checkpoint(name, tag="last")):
+        # crash-recovery: restore params + optimizer state + epoch
+        logger.info("resuming %s from the last checkpoint", name)
+        state, start_epoch = load_last(runner, experiment, name)
+    elif config.execution.fine_tuning and experiment.has_checkpoint(name):
         # FineTuneStep semantics: load persisted transformer, re-fit
         # (reference: utils.py:455-461)
         logger.info("fine-tuning %s from persisted checkpoint", name)
@@ -130,7 +153,7 @@ def _fit_fold(config: Config, experiment: Experiment, name: str,
     use_depth = runner.use_depth
     fit(runner, _bundle_tuple(train_b, use_depth),
         _bundle_tuple(valid_b, use_depth), callbacks=callbacks, state=state,
-        seed=config.execution.seed)
+        seed=config.execution.seed, start_epoch=start_epoch)
     return runner
 
 

@@ -278,11 +278,14 @@ class ModelCheckpoint(Callback):
         if self.save_last:
             # crash-recovery checkpoint alongside best (the reference's
             # equivalents are the steppy transformer cache +
-            # CLONE_EXPERIMENT_DIR_FROM, main.py:38-51)
+            # CLONE_EXPERIMENT_DIR_FROM, main.py:38-51). Includes the
+            # full optimizer state so --resume continues exactly.
             state = ctx["state"]
             self.experiment.save_params(
                 self.name, {"params": state.params,
-                            "batch_stats": state.batch_stats},
+                            "batch_stats": state.batch_stats,
+                            "opt_state": state.opt_state,
+                            "step": state.step},
                 tag="last", meta={"epoch": ctx["epoch_id"]})
         metrics = ctx.get("validation") or {}
         if self.metric_name not in metrics:

@@ -98,7 +98,8 @@ def fit(runner: SegmentationRunner,
         callbacks: Optional[CallbackList] = None,
         state: Optional[TrainState] = None,
         epochs: Optional[int] = None,
-        seed: int = 1234) -> Tuple[TrainState, list]:
+        seed: int = 1234,
+        start_epoch: int = 0) -> Tuple[TrainState, list]:
     """Train a runner on packed arrays. ``train_data``/``valid_data`` are
     (images_u8 [N,101,101], masks_u8 [N,101,101], depths [N] or None)."""
     cfg = runner.config
@@ -121,7 +122,7 @@ def fit(runner: SegmentationRunner,
     if "force_learning_rate" in ctx:
         state = state.with_learning_rate(ctx.pop("force_learning_rate"))
 
-    for epoch_id in range(epochs):
+    for epoch_id in range(start_epoch, epochs):
         ctx["epoch_id"] = epoch_id
         callbacks.on_epoch_begin(ctx)
         epoch_losses = []
