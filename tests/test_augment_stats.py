@@ -1,0 +1,54 @@
+"""Statistical goldens for the augmentation policy — bit parity with
+imgaug is impossible (the reference is time-seeded, utils.py:355-368),
+so parity is checked at the distribution level: op application rates
+match the policy probabilities (reference: augmentation.py:34-64)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from salt_tpu.ops.augment import (intensity_ops, make_warp_coords,
+                                  bilinear_sample)
+
+B = 600  # binomial std ~2% at these rates
+
+
+def test_intensity_invert_rate():
+    """Invert(0.3): a bright constant image flips below 0.5 only when
+    inverted (other intensity ops shift by <=0.06)."""
+    img = jnp.full((B, 16, 16), 0.9, jnp.float32)
+    out = np.asarray(intensity_ops(jax.random.PRNGKey(0), img))
+    inverted = (out.mean(axis=(1, 2)) < 0.5).mean()
+    assert 0.24 <= inverted <= 0.36
+
+
+def test_geometry_identity_rate():
+    """P(no geometric op) = (1-.375)^2 * (1-.3)^2 ~ 0.19."""
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(B, 24, 24).astype(np.float32))
+    ys, xs = make_warp_coords(jax.random.PRNGKey(1), B, 24, 24)
+    out = np.asarray(bilinear_sample(img, ys, xs))
+    unchanged = (np.abs(out - np.asarray(img)).max(axis=(1, 2)) < 1e-6).mean()
+    assert 0.13 <= unchanged <= 0.26
+
+
+def test_flip_rate_on_asymmetric_image():
+    """Among identity-coordinate warps none are flips; flips alone (when
+    no other geometric op fires) occur at ~.375 * .625 * .7 * .7 ~ .115."""
+    img = np.zeros((B, 24, 24), np.float32)
+    img[:, :, :4] = 1.0          # left-heavy stripe
+    img_j = jnp.asarray(img)
+    ys, xs = make_warp_coords(jax.random.PRNGKey(2), B, 24, 24)
+    out = np.asarray(bilinear_sample(img_j, ys, xs))
+    flipped_exact = (np.abs(out - img[:, :, ::-1]).max(axis=(1, 2)) < 1e-6).mean()
+    assert 0.07 <= flipped_exact <= 0.17
+
+
+def test_mean_intensity_preserved_without_invert():
+    """Conditional on not inverting, intensity ops keep the mean within
+    a few percent (Add +-10/255, Multiply x[0.95, 1.05])."""
+    img = jnp.full((B, 16, 16), 0.6, jnp.float32)
+    out = np.asarray(intensity_ops(jax.random.PRNGKey(3), img))
+    means = out.mean(axis=(1, 2))
+    kept = means[means > 0.5]
+    assert np.all(np.abs(kept - 0.6) < 0.12)
