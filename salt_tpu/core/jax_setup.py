@@ -21,10 +21,18 @@ def setup_jax(cache_dir: str = "") -> None:
     cache_dir = (cache_dir or os.getenv("SALT_TPU_COMPILE_CACHE")
                  or os.path.expanduser("~/.cache/salt_tpu_xla"))
     try:
-        # per-platform subdir: a CPU AOT result loaded into a process
-        # with different target features can SIGILL
         platform = jax.devices()[0].platform
-        cache_dir = os.path.join(cache_dir, platform)
+        if platform == "cpu":
+            # CPU AOT cache entries record the compile-time target
+            # feature set, which follows the process's XLA_FLAGS; a
+            # reload under different flags warns about possible SIGILL.
+            # Keying the dir by the flags keeps reuse safe.
+            import hashlib
+            tag = hashlib.sha1(
+                os.environ.get("XLA_FLAGS", "").encode()).hexdigest()[:12]
+            cache_dir = os.path.join(cache_dir, f"cpu-{tag}")
+        else:
+            cache_dir = os.path.join(cache_dir, platform)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
