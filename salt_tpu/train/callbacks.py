@@ -263,30 +263,42 @@ class ModelCheckpoint(Callback):
 
     def __init__(self, experiment, name: str, metric_name: str = "iout",
                  minimize: bool = False, epoch_every: int = 1,
-                 save_last: bool = True):
+                 save_last: bool = True, last_every: int = 5):
         self.experiment = experiment
         self.name = name
         self.metric_name = metric_name
         self.minimize = minimize
         self.epoch_every = epoch_every
         self.save_last = save_last
+        # 'last' includes the full optimizer state (~3x params on disk),
+        # so write it sparsely — it's crash recovery, not the artifact
+        self.last_every = last_every
         self.best_score = None
 
     def on_epoch_end(self, ctx):
         if not self.epoch_every or ctx["epoch_id"] % self.epoch_every:
             return
-        if self.save_last:
-            # crash-recovery checkpoint alongside best (the reference's
-            # equivalents are the steppy transformer cache +
-            # CLONE_EXPERIMENT_DIR_FROM, main.py:38-51). Includes the
-            # full optimizer state so --resume continues exactly.
-            state = ctx["state"]
-            self.experiment.save_params(
-                self.name, {"params": state.params,
-                            "batch_stats": state.batch_stats,
-                            "opt_state": state.opt_state,
-                            "step": state.step},
-                tag="last", meta={"epoch": ctx["epoch_id"]})
+        if self.save_last and (ctx["epoch_id"] % self.last_every
+                               == self.last_every - 1):
+            self._save_last(ctx)
+
+    def on_train_end(self, ctx):
+        # guarantee a resumable checkpoint at run end regardless of cadence
+        if self.save_last and "state" in ctx:
+            self._save_last(ctx)
+
+    def _save_last(self, ctx):
+        """Crash-recovery checkpoint alongside best (the reference's
+        equivalents are the steppy transformer cache +
+        CLONE_EXPERIMENT_DIR_FROM, main.py:38-51). Includes the full
+        optimizer state so --resume continues exactly."""
+        state = ctx["state"]
+        self.experiment.save_params(
+            self.name, {"params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "step": state.step},
+            tag="last", meta={"epoch": ctx["epoch_id"]})
         metrics = ctx.get("validation") or {}
         if self.metric_name not in metrics:
             return
