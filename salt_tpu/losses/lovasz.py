@@ -48,7 +48,11 @@ def lovasz_hinge_flat(logits: jax.Array, labels: jax.Array) -> jax.Array:
     signs = 2.0 * labels - 1.0
     errors = 1.0 - logits.astype(jnp.float32) * signs
     p = errors.shape[0]
-    if p & (p - 1) == 0 and p > 1:
+    # bitonic only off-CPU: the 120-stage network is a big win on the
+    # TPU VPU but compiles/runs far slower than the native sort on CPU
+    use_bitonic = (p & (p - 1) == 0 and p > 1
+                   and jax.default_backend() != "cpu")
+    if use_bitonic:
         from salt_tpu.ops.bitonic import bitonic_sort_desc
         errors_sorted, gt_sorted = bitonic_sort_desc(errors, labels)
     else:
