@@ -281,24 +281,6 @@ class ModelCheckpoint(Callback):
         if self.save_last and (ctx["epoch_id"] % self.last_every
                                == self.last_every - 1):
             self._save_last(ctx)
-
-    def on_train_end(self, ctx):
-        # guarantee a resumable checkpoint at run end regardless of cadence
-        if self.save_last and "state" in ctx:
-            self._save_last(ctx)
-
-    def _save_last(self, ctx):
-        """Crash-recovery checkpoint alongside best (the reference's
-        equivalents are the steppy transformer cache +
-        CLONE_EXPERIMENT_DIR_FROM, main.py:38-51). Includes the full
-        optimizer state so --resume continues exactly."""
-        state = ctx["state"]
-        self.experiment.save_params(
-            self.name, {"params": state.params,
-                        "batch_stats": state.batch_stats,
-                        "opt_state": state.opt_state,
-                        "step": state.step},
-            tag="last", meta={"epoch": ctx["epoch_id"]})
         metrics = ctx.get("validation") or {}
         if self.metric_name not in metrics:
             return
@@ -321,6 +303,24 @@ class ModelCheckpoint(Callback):
                       "threshold": float(metrics.get("threshold", 0.5))})
             logger.info("epoch %d model saved (%s=%.5f)", ctx["epoch_id"],
                         self.metric_name, score)
+
+    def on_train_end(self, ctx):
+        # guarantee a resumable checkpoint at run end regardless of cadence
+        if self.save_last and "state" in ctx:
+            self._save_last(ctx)
+
+    def _save_last(self, ctx):
+        """Crash-recovery checkpoint alongside best (the reference's
+        equivalents are the steppy transformer cache +
+        CLONE_EXPERIMENT_DIR_FROM, main.py:38-51). Includes the full
+        optimizer state so --resume continues exactly."""
+        state = ctx["state"]
+        self.experiment.save_params(
+            self.name, {"params": state.params,
+                        "batch_stats": state.batch_stats,
+                        "opt_state": state.opt_state,
+                        "step": state.step},
+            tag="last", meta={"epoch": ctx["epoch_id"]})
 
 
 class EarlyStopping(Callback):

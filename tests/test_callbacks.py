@@ -120,6 +120,38 @@ def test_training_monitor_mean(caplog):
     assert ctx["train_loss"] == 2.0
 
 
+def test_model_checkpoint_best_and_last_semantics():
+    """'best' saves on metric improvement per epoch (reference:
+    callbacks.py:758-794); 'last' saves on the sparse cadence + at train
+    end. Regression test: a refactor once coupled best-saving to the
+    last-cadence, silently turning 'best' into 'final'."""
+    from salt_tpu.train.callbacks import ModelCheckpoint
+
+    class FakeExp:
+        def __init__(self):
+            self.saves = []
+
+        def save_params(self, name, tree, tag="best", meta=None):
+            self.saves.append((tag, dict(meta or {})))
+
+    class FakeState:
+        params = {}
+        batch_stats = {}
+        opt_state = {}
+        step = 0
+
+    exp = FakeExp()
+    cb = ModelCheckpoint(exp, "network", metric_name="iout", minimize=False)
+    for epoch, iout in enumerate([0.1, 0.3, 0.2, 0.3, 0.2, 0.2]):
+        cb.on_epoch_end({"epoch_id": epoch, "state": FakeState(),
+                         "validation": {"iout": iout, "threshold": 0.5}})
+    cb.on_train_end({"state": FakeState(), "epoch_id": 5})
+    bests = [m["epoch"] for t, m in exp.saves if t == "best"]
+    lasts = [m["epoch"] for t, m in exp.saves if t == "last"]
+    assert bests == [0, 1]       # only genuine improvements
+    assert lasts == [4, 5]       # cadence (every 5) + train end
+
+
 def test_callback_list_aggregates_lr():
     class A(ExponentialLRScheduler):
         pass
