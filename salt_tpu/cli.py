@@ -42,7 +42,14 @@ def main(argv=None):
         "train-evaluate-cv", "train-evaluate-predict-cv",
         "evaluate-cv", "evaluate-predict-cv",
         "empty-train", "empty-evaluate", "empty-cv",
-        "stacking-cv"])
+        "empty-evaluate-cv", "empty-evaluate-predict-cv",
+        "stacking-cv", "full-solution"])
+    parser.add_argument("--workdir", default="output/full_solution",
+                        help="full-solution: root dir for the "
+                             "segmentation/emptiness/stacking stages")
+    parser.add_argument("--no-stacking", action="store_true",
+                        help="full-solution: skip the stacking second "
+                             "level (gated two-stage submission only)")
     parser.add_argument("--stacking-experiments", nargs="*", default=[],
                         metavar="DIR",
                         help="first-level experiment dirs whose oof "
@@ -116,13 +123,22 @@ def main(argv=None):
     profiling = False
     if args.profile:
         # deeper tracing than the reference's wall-clock-only
-        # ExperimentTiming (reference: callbacks.py:278-324)
-        try:
-            import jax
-            jax.profiler.start_trace(args.profile)
-            profiling = True
-        except Exception as e:   # profiler support varies by backend
-            print(f"profiler unavailable: {e}")
+        # ExperimentTiming (reference: callbacks.py:278-324).
+        # start_trace HANGS (not raises) on the axon relay backend, which
+        # would wedge the TPU claim — refuse it there and fall back to
+        # the wall-clock timings the callbacks already record.
+        import jax
+        platform = jax.devices()[0].platform
+        if platform == "axon":
+            print("--profile: jax profiler is unsupported on the axon "
+                  "relay backend (start_trace hangs); falling back to "
+                  "wall-clock epoch/batch timings in channels_*.jsonl")
+        else:
+            try:
+                jax.profiler.start_trace(args.profile)
+                profiling = True
+            except Exception as e:   # profiler support varies by backend
+                print(f"profiler unavailable: {e}")
 
     if args.command == "train":
         api.train(cfg, experiment, train_b)
@@ -148,6 +164,19 @@ def main(argv=None):
         from salt_tpu.pipeline import emptiness
         print(emptiness.train_evaluate_predict_cv(cfg, experiment, train_b,
                                                   test_b))
+    elif args.command == "empty-evaluate-cv":
+        from salt_tpu.pipeline import emptiness
+        print(emptiness.evaluate_cv(cfg, experiment, train_b))
+    elif args.command == "empty-evaluate-predict-cv":
+        from salt_tpu.pipeline import emptiness
+        print(emptiness.evaluate_predict_cv(cfg, experiment, train_b, test_b))
+    elif args.command == "full-solution":
+        from salt_tpu.pipeline.full_solution import run_full_solution
+        results = run_full_solution(cfg, args.workdir, train_b, test_b,
+                                    use_stacking=not args.no_stacking)
+        print({k: results[k] for k in
+               ("segmentation", "emptiness", "stacking")})
+        print(f"final gated submission -> {results['submission_path']}")
     elif args.command == "stacking-cv":
         from salt_tpu.pipeline import stacking
         dirs = args.stacking_experiments

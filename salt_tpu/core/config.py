@@ -102,7 +102,7 @@ class TrainingConfig:
     patience: int = 20                    # early stopping
     validation_metric_name: str = "iout"
     minimize_validation_metric: bool = False
-    lr_schedule: str = "plateau"          # 'plateau' | 'exponential' | 'none'
+    lr_schedule: str = "plateau"          # 'plateau' | 'exponential' | 'lr_finder' | 'none'
     gamma: float = 0.95                   # exponential LR decay
     reduce_factor: float = 0.1            # plateau decay
     reduce_patience: int = 10

@@ -27,9 +27,24 @@ def setup_jax(cache_dir: str = "") -> None:
             # feature set, which follows the process's XLA_FLAGS; a
             # reload under different flags warns about possible SIGILL.
             # Keying the dir by the flags keeps reuse safe.
+            # ... and by a host-CPU fingerprint: AOT entries also bake in
+            # the compile host's CPU feature set, so reuse on a different
+            # host (driver machines vary) risks SIGILL.
             import hashlib
+            cpu = ""
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith("flags"):
+                            cpu = line
+                            break
+                        if line.startswith("model name") and not cpu:
+                            cpu = line
+            except OSError:
+                pass
             tag = hashlib.sha1(
-                os.environ.get("XLA_FLAGS", "").encode()).hexdigest()[:12]
+                (os.environ.get("XLA_FLAGS", "") + "|" + cpu)
+                .encode()).hexdigest()[:12]
             cache_dir = os.path.join(cache_dir, f"cpu-{tag}")
         else:
             cache_dir = os.path.join(cache_dir, platform)

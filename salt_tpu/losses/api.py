@@ -19,6 +19,10 @@ def get_loss_fn(name: str) -> LossFn:
     """All losses take (logits [B,H,W,C], one-hot target [B,H,W,C])."""
     losses = {
         "lovasz": lambda out, tgt: lovasz_hinge(out, tgt, per_image=True),
+        # inverse-foreground-fraction weighting knob
+        # (reference: lovasz_losses.py:118-129)
+        "lovasz_size_weighted": lambda out, tgt: lovasz_hinge(
+            out, tgt, per_image=True, size_weighted=True),
         "bce": stable_bce_with_logits,
         "dice": lambda out, tgt: multiclass_dice_loss(out, tgt,
                                                       activation="sigmoid"),

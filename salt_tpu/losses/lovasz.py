@@ -33,7 +33,21 @@ def lovasz_grad(gt_sorted: jax.Array) -> jax.Array:
     return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
 
 
-def lovasz_hinge_flat(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def weigh_errors_with_size(labels: jax.Array, errors: jax.Array) -> jax.Array:
+    """Inverse-foreground-fraction error weighting
+    (reference: lovasz_losses.py:118-129): foreground errors scale by
+    P/size so small masks are not drowned out; empty masks pass through
+    unchanged. jit-safe via where instead of the reference's host-side
+    size branch."""
+    p = errors.shape[0]
+    size = jnp.sum(labels)
+    size_weight = p / jnp.maximum(size, 1.0)
+    weights = jnp.where(labels > 0.5, size_weight, 1.0)
+    return jnp.where(size == 0, errors, errors * weights)
+
+
+def lovasz_hinge_flat(logits: jax.Array, labels: jax.Array,
+                      size_weighted: bool = False) -> jax.Array:
     """Binary Lovász hinge on flat [P] logits/labels
     (reference: lovasz_losses.py:97-115).
 
@@ -47,6 +61,8 @@ def lovasz_hinge_flat(logits: jax.Array, labels: jax.Array) -> jax.Array:
     labels = labels.astype(jnp.float32)
     signs = 2.0 * labels - 1.0
     errors = 1.0 - logits.astype(jnp.float32) * signs
+    if size_weighted:
+        errors = weigh_errors_with_size(labels, errors)
     p = errors.shape[0]
     # bitonic only off-CPU: the 120-stage network is a big win on the
     # TPU VPU but compiles/runs far slower than the native sort on CPU
@@ -63,7 +79,8 @@ def lovasz_hinge_flat(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def lovasz_hinge(logits: jax.Array, labels: jax.Array,
-                 per_image: bool = True) -> jax.Array:
+                 per_image: bool = True,
+                 size_weighted: bool = False) -> jax.Array:
     """Batch Lovász hinge. Accepts [B, ...] logits/labels of identical
     shape (the reference feeds the full [B, 2, H, W] one-hot pair,
     models.py:326-328 -> lovasz_losses.py:81-94; channel layout is
@@ -71,10 +88,12 @@ def lovasz_hinge(logits: jax.Array, labels: jax.Array,
     b = logits.shape[0]
     flat_logits = logits.reshape(b, -1)
     flat_labels = labels.reshape(b, -1)
+    flat = lambda lo, la: lovasz_hinge_flat(lo, la,
+                                            size_weighted=size_weighted)
     if per_image:
-        losses = jax.vmap(lovasz_hinge_flat)(flat_logits, flat_labels)
+        losses = jax.vmap(flat)(flat_logits, flat_labels)
         return jnp.mean(losses)
-    return lovasz_hinge_flat(flat_logits.reshape(-1), flat_labels.reshape(-1))
+    return flat(flat_logits.reshape(-1), flat_labels.reshape(-1))
 
 
 def lovasz_softmax_flat(probas: jax.Array, labels: jax.Array,

@@ -32,6 +32,8 @@ from salt_tpu.metrics.iout import batch_iou_iout
 from salt_tpu.ops.rle import create_submission
 from salt_tpu.train.callbacks import (CallbackList, ChannelLogger,
                                       EarlyStopping, ExperimentTiming,
+                                      ExponentialLRScheduler,
+                                      InitialLearningRateFinder,
                                       ModelCheckpoint,
                                       ReduceLROnPlateauScheduler,
                                       TrainingMonitor)
@@ -58,6 +60,25 @@ def _bundle_tuple(b: DataBundle, use_depth: bool):
     return (b.images, b.masks, b.depths if use_depth else None)
 
 
+def _lr_schedule_callbacks(t) -> List:
+    """LR-schedule selection (reference: models.py:300-312 picks the
+    scheduler callback per config; callbacks.py:164-275)."""
+    schedule = (t.lr_schedule or "none").lower()
+    if schedule == "plateau":
+        return [ReduceLROnPlateauScheduler(t.validation_metric_name,
+                                           t.minimize_validation_metric,
+                                           t.reduce_factor,
+                                           t.reduce_patience, t.min_lr)]
+    if schedule == "exponential":
+        return [ExponentialLRScheduler(t.gamma)]
+    if schedule in ("lr_finder", "lr-finder"):
+        return [InitialLearningRateFinder()]
+    if schedule == "none":
+        return []
+    raise ValueError(f"unknown training.lr_schedule {t.lr_schedule!r} "
+                     "(want plateau | exponential | lr_finder | none)")
+
+
 def _make_callbacks(config: Config, experiment: Experiment, name: str
                     ) -> CallbackList:
     t = config.training
@@ -67,10 +88,7 @@ def _make_callbacks(config: Config, experiment: Experiment, name: str
         ModelCheckpoint(experiment, name,
                         metric_name=t.validation_metric_name,
                         minimize=t.minimize_validation_metric),
-        ReduceLROnPlateauScheduler(t.validation_metric_name,
-                                   t.minimize_validation_metric,
-                                   t.reduce_factor, t.reduce_patience,
-                                   t.min_lr),
+        *_lr_schedule_callbacks(t),
         EarlyStopping(t.validation_metric_name, t.patience,
                       t.minimize_validation_metric),
         ChannelLogger(experiment.directory + f"/channels_{name}.jsonl"),

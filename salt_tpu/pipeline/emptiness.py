@@ -96,12 +96,12 @@ def evaluate(config: Config, experiment: Experiment, bundle: DataBundle
     return {"auc": auc}
 
 
-def train_evaluate_predict_cv(config: Config, experiment: Experiment,
-                              bundle: DataBundle,
-                              test_bundle: Optional[DataBundle] = None
-                              ) -> Dict:
-    """Full CV over the classifier, persisting oof train/test
-    probabilities (reference: empty_vs_non_empty.py:419-463,660-670)."""
+def _cv_loop(config: Config, experiment: Experiment, bundle: DataBundle,
+             test_bundle: Optional[DataBundle], do_train: bool) -> Dict:
+    """CV matrix over the classifier: optional per-fold training, AUC
+    scoring of the persisted fold checkpoints, oof train/test probability
+    persistence (reference: empty_vs_non_empty.py:419-463 trained,
+    466-535 eval-only, 560-628 eval+predict, 660-670 persistence)."""
     cfg = _classifier_config(config)
     cv = KFoldBySortedValue(n_splits=cfg.execution.n_cv_splits)
     fold_auc: List[float] = []
@@ -113,12 +113,14 @@ def train_evaluate_predict_cv(config: Config, experiment: Experiment,
     for fold_id, (train_idx, valid_idx) in enumerate(
             cv.split(bundle.meta["z"].values)):
         name = add_fold_suffix(NETWORK, fold_id)
-        train_b, valid_b = bundle.take(train_idx), bundle.take(valid_idx)
+        valid_b = bundle.take(valid_idx)
         logger.info("Started emptiness fold %d", fold_id)
-        fit_classifier(runner, (train_b.images, _labels(train_b)),
-                       (valid_b.images, _labels(valid_b)),
-                       callbacks=_callbacks(cfg, experiment, name),
-                       seed=cfg.execution.seed)
+        if do_train:
+            train_b = bundle.take(train_idx)
+            fit_classifier(runner, (train_b.images, _labels(train_b)),
+                           (valid_b.images, _labels(valid_b)),
+                           callbacks=_callbacks(cfg, experiment, name),
+                           seed=cfg.execution.seed)
         state = _load_best(runner, experiment, name)
         probs_valid = runner.predict_dataset(state, valid_b.images)
         auc = roc_auc(_labels(valid_b), probs_valid[:, 1])
@@ -143,27 +145,27 @@ def train_evaluate_predict_cv(config: Config, experiment: Experiment,
     return scores
 
 
+def train_evaluate_predict_cv(config: Config, experiment: Experiment,
+                              bundle: DataBundle,
+                              test_bundle: Optional[DataBundle] = None
+                              ) -> Dict:
+    """Full CV over the classifier, persisting oof train/test
+    probabilities (reference: empty_vs_non_empty.py:419-463,660-670)."""
+    return _cv_loop(config, experiment, bundle, test_bundle, do_train=True)
+
+
 def evaluate_cv(config: Config, experiment: Experiment, bundle: DataBundle
                 ) -> Dict:
     """Eval-only CV over persisted fold classifiers
     (reference: empty_vs_non_empty.py:466-535)."""
-    cfg = _classifier_config(config)
-    cv = KFoldBySortedValue(n_splits=cfg.execution.n_cv_splits)
-    runner = ClassifierRunner(cfg)
-    fold_auc = []
-    for fold_id, (_, valid_idx) in enumerate(
-            cv.split(bundle.meta["z"].values)):
-        valid_b = bundle.take(valid_idx)
-        state = _load_best(runner, experiment,
-                           add_fold_suffix(NETWORK, fold_id))
-        probs = runner.predict_dataset(state, valid_b.images)
-        auc = roc_auc(_labels(valid_b), probs[:, 1])
-        logger.info("Fold %d AUC %s", fold_id, auc)
-        fold_auc.append(auc)
-    scores = {"auc_mean": float(np.mean(fold_auc)),
-              "auc_std": float(np.std(fold_auc)), "fold_auc": fold_auc}
-    experiment.save_json("emptiness_cv_scores", scores)
-    return scores
+    return _cv_loop(config, experiment, bundle, None, do_train=False)
+
+
+def evaluate_predict_cv(config: Config, experiment: Experiment,
+                        bundle: DataBundle, test_bundle: DataBundle) -> Dict:
+    """Eval persisted fold classifiers + fold-mean test probabilities
+    (reference: empty_vs_non_empty.py:560-628)."""
+    return _cv_loop(config, experiment, bundle, test_bundle, do_train=False)
 
 
 def resize_emptiness_predictions(probs: np.ndarray,

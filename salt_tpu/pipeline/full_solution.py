@@ -1,0 +1,96 @@
+"""Composed two-stage + stacking solution: segmentation CV ensemble ->
+emptiness-classifier gating -> optional stacking second level -> one
+final gated submission.csv.
+
+This is the tested, CLI-reachable counterpart of the reference's
+highest-scoring configuration: the SECOND_LEVEL stacking driver
+(reference: main.py:304-344) fed by first-level oof predictions, plus
+the solution-9 trick where `empty_vs_non_empty.py` oof probabilities
+zero the masks of predicted-empty images (SURVEY.md C15).
+"""
+from __future__ import annotations
+
+import copy
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from salt_tpu.core.config import Config
+from salt_tpu.core.experiment import Experiment
+from salt_tpu.core.logging import get_logger
+from salt_tpu.data.bundle import DataBundle
+from salt_tpu.ops.rle import create_submission
+from salt_tpu.pipeline import api, emptiness, stacking
+
+logger = get_logger()
+
+
+def _stage_config(cfg: Config, workdir: str, stage: str) -> Config:
+    stage_cfg = copy.deepcopy(cfg)
+    stage_cfg.paths.experiment_dir = os.path.join(workdir, stage)
+    return stage_cfg
+
+
+def gated_submission(seg_exp: Experiment, emp_exp: Experiment,
+                     threshold: float, out_path: str):
+    """Gate the fold-mean segmentation test probabilities with the
+    emptiness classifier's P(non-empty) and write the submission."""
+    import pandas as pd
+    seg_test = seg_exp.load_predictions("out_of_fold_test_predictions")
+    emp_test = emp_exp.load_predictions("emptiness_oof_test_predictions")
+    emp_by_id = {i: p[1] for i, p in zip(emp_test["ids"], emp_test["images"])}
+    gate = np.array([emp_by_id.get(i, 1.0) for i in seg_test["ids"]])
+    gated = emptiness.apply_emptiness_gating(
+        np.asarray(seg_test["images"]), gate, threshold)
+    y_pred = [(img[1] > threshold).astype(np.uint8) for img in gated]
+    submission = create_submission(pd.DataFrame({"id": seg_test["ids"]}),
+                                   y_pred)
+    submission.to_csv(out_path, index=None, encoding="utf-8")
+    logger.info("final gated submission -> %s", out_path)
+    return submission
+
+
+def run_full_solution(cfg: Config, workdir: str, train_b: DataBundle,
+                      test_b: DataBundle,
+                      use_stacking: bool = True) -> Dict:
+    """Run every stage end-to-end; returns the per-stage score dicts and
+    the final submission path. Stages persist under
+    ``<workdir>/{segmentation,emptiness,stacking}``."""
+    os.makedirs(workdir, exist_ok=True)
+
+    # ---- stage 1: segmentation CV ensemble (oof + fold-mean test preds)
+    seg_cfg = _stage_config(cfg, workdir, "segmentation")
+    seg_exp = Experiment(seg_cfg.paths.experiment_dir)
+    seg_scores = api.train_evaluate_predict_cv(seg_cfg, seg_exp, train_b,
+                                               test_b)
+    logger.info("segmentation CV: %s", seg_scores)
+
+    # ---- stage 2: emptiness classifier CV (oof gating probabilities)
+    emp_cfg = _stage_config(cfg, workdir, "emptiness")
+    emp_exp = Experiment(emp_cfg.paths.experiment_dir)
+    emp_scores = emptiness.train_evaluate_predict_cv(emp_cfg, emp_exp,
+                                                     train_b, test_b)
+    logger.info("emptiness CV: %s", emp_scores)
+
+    # ---- stage 3: stacking second level over the segmentation oof preds
+    stack_scores: Optional[Dict] = None
+    if use_stacking:
+        stack_cfg = _stage_config(cfg, workdir, "stacking")
+        stack_exp = Experiment(stack_cfg.paths.experiment_dir)
+        seg_dir = seg_cfg.paths.experiment_dir
+        ids, cube = stacking.join_experiment_predictions([seg_dir], "train")
+        bundle_aligned, cube = stacking.stacking_bundle(train_b, ids, cube)
+        t_ids, t_cube = stacking.join_experiment_predictions([seg_dir],
+                                                             "test")
+        test_aligned, t_cube = stacking.stacking_bundle(test_b, t_ids, t_cube)
+        stack_scores = stacking.train_evaluate_stacking(
+            stack_cfg, stack_exp, bundle_aligned, cube, t_cube, test_aligned)
+        logger.info("stacking CV: %s", stack_scores)
+
+    # ---- stage 4: gated final submission
+    out_path = os.path.join(workdir, "final_submission.csv")
+    gated_submission(seg_exp, emp_exp, cfg.postpro.threshold_masks, out_path)
+
+    return {"segmentation": seg_scores, "emptiness": emp_scores,
+            "stacking": stack_scores, "submission_path": out_path}

@@ -105,3 +105,35 @@ def test_get_loss_fn_all_registered(rng):
         assert np.isfinite(v)
     with pytest.raises(KeyError):
         get_loss_fn("nope")
+
+
+def test_weigh_errors_with_size_semantics(rng):
+    """Inverse-foreground-fraction weighting
+    (reference: lovasz_losses.py:118-129): fg errors scale by P/size,
+    bg errors unchanged; empty masks pass through."""
+    from salt_tpu.losses.lovasz import weigh_errors_with_size
+    labels = (rng.rand(64) > 0.7).astype(np.float32)
+    errors = rng.randn(64).astype(np.float32)
+    got = np.asarray(weigh_errors_with_size(jnp.asarray(labels),
+                                            jnp.asarray(errors)))
+    size = labels.sum()
+    expect = np.where(labels > 0.5, errors * (64.0 / size), errors)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+    # empty mask: unchanged
+    zero = np.zeros(64, np.float32)
+    got0 = np.asarray(weigh_errors_with_size(jnp.asarray(zero),
+                                             jnp.asarray(errors)))
+    np.testing.assert_allclose(got0, errors)
+
+
+def test_size_weighted_lovasz_registered_and_differs(rng):
+    logits = jnp.asarray(rng.randn(2, 8, 8, 2).astype(np.float32))
+    target = jnp.asarray((rng.rand(2, 8, 8, 2) > 0.8).astype(np.float32))
+    base = get_loss_fn("lovasz")(logits, target)
+    weighted = get_loss_fn("lovasz_size_weighted")(logits, target)
+    assert np.isfinite(float(base)) and np.isfinite(float(weighted))
+    assert not np.isclose(float(base), float(weighted))
+    # gradient flows and stays finite under jit
+    g = jax.grad(lambda x: get_loss_fn("lovasz_size_weighted")(x, target))(
+        logits)
+    assert np.isfinite(np.asarray(g)).all()
