@@ -81,7 +81,8 @@ def main(n_devices: int) -> None:
         fd = np.zeros((2, kb, 1), np.float32)
         di, dm, dd = fp.shard_fold_batch(fi, fm, fd)
         keys = jax.random.split(rng, 2)
-        states, losses = fp.train_step(states, di, dm, dd, keys)
+        active = np.ones((2,), bool)
+        states, losses = fp.train_step(states, di, dm, dd, keys, active)
         lv = np.asarray(losses)
         assert np.isfinite(lv).all(), f"non-finite fold losses {lv}"
         print(f"dryrun fold-parallel ok: losses={np.round(lv, 4)}, "

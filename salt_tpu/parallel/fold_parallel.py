@@ -57,22 +57,55 @@ class FoldParallelRunner:
 
     def _compile(self):
         inner = self.runner
+        spec = P("fold")
 
-        def single_train(state, images_u8, masks_u8, depths, rng):
-            return inner.train_step.__wrapped__(state, images_u8, masks_u8,
-                                                depths, rng)
+        def single_train(state, images_u8, masks_u8, depths, rng, active):
+            new_state, loss = inner.train_step.__wrapped__(
+                state, images_u8, masks_u8, depths, rng)
+            # early-stopped folds FREEZE: the old state (params, BN
+            # running stats, optimizer moments) passes through verbatim,
+            # matching a sequentially-trained fold that already returned
+            frozen = jax.tree.map(lambda n, o: jnp.where(active, n, o),
+                                  new_state, state)
+            return frozen, loss
 
         def single_predict(params, batch_stats, images_u8, depths):
             return inner.predict_step.__wrapped__(params, batch_stats,
                                                   images_u8, depths)
 
-        self.train_step = jax.jit(jax.vmap(single_train),
-                                  donate_argnums=(0,))
-        self.predict_step = jax.jit(jax.vmap(single_predict))
+        # shard_map, NOT bare vmap+GSPMD: with fold-stacked params merely
+        # annotated P("fold"), the GSPMD partitioner was measured (round 2,
+        # 8-virtual-CPU mesh) to produce logits for fold i that depend on
+        # fold j's DATA — a silent cross-fold leak. shard_map pins each
+        # fold group to its device and runs the plain (leak-free) local
+        # vmap inside, with zero cross-device communication, which is the
+        # correct semantics for embarrassingly-parallel fold training.
+        mesh = self.mesh
+
+        def sharded_train(state, images_u8, masks_u8, depths, rng, active):
+            return jax.shard_map(
+                jax.vmap(single_train), mesh=mesh,
+                in_specs=(spec,) * 6, out_specs=(spec, spec),
+                check_vma=False,
+            )(state, images_u8, masks_u8, depths, rng, active)
+
+        def sharded_predict(params, batch_stats, images_u8, depths):
+            return jax.shard_map(
+                jax.vmap(single_predict), mesh=mesh,
+                in_specs=(spec,) * 4, out_specs=spec,
+                check_vma=False,
+            )(params, batch_stats, images_u8, depths)
+
+        self.train_step = jax.jit(sharded_train, donate_argnums=(0,))
+        self.predict_step = jax.jit(sharded_predict)
 
     # -- state ------------------------------------------------------------
-    def init_states(self, seed: int = 1234) -> TrainState:
-        """Stacked [K, ...] TrainState, fold axis sharded over the mesh."""
+    def init_states(self, seed: int = 1234,
+                    identical: bool = False) -> TrainState:
+        """Stacked [K, ...] TrainState, fold axis sharded over the mesh.
+        ``identical=True`` gives every fold the same init (the sequential
+        loop's behavior: every fold calls init_state(seed)); the default
+        per-fold seeds add ensemble diversity."""
         def one(seed_val):
             rng = jax.random.PRNGKey(seed_val)
             b = 2
@@ -83,8 +116,13 @@ class FoldParallelRunner:
             return create_train_state(self.runner.model, rng, sample,
                                       self.runner.tx, depth)
 
-        states = [one(seed + k) for k in range(self.n_folds)]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        if identical:
+            base = one(seed)
+            stacked = jax.tree.map(
+                lambda x: jnp.stack([x] * self.n_folds), base)
+        else:
+            states = [one(seed + k) for k in range(self.n_folds)]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
         return jax.device_put(stacked, self._fold_sharding)
 
     def shard_fold_batch(self, *arrays):
@@ -97,77 +135,186 @@ class FoldParallelRunner:
         return jax.tree.map(lambda x: np.asarray(x)[k], states)
 
 
+def _set_fold_lrs(states: TrainState, lrs: np.ndarray) -> TrainState:
+    """Per-fold learning rates: the stacked opt_state's injected
+    hyperparameter is a [K] vector, one scalar per vmapped fold."""
+    hp = dict(states.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lrs, jnp.float32)
+    return states.replace(
+        opt_state=states.opt_state._replace(hyperparams=hp))
+
+
+def _load_last_stacked(fp: FoldParallelRunner, experiment, names,
+                       template_states: TrainState):
+    """Fold-parallel crash-recovery: restore every fold's 'last'
+    checkpoint (params + BN stats + optimizer state + epoch) and restack
+    (sequential counterpart: pipeline/api.py load_last)."""
+    like = fp.fold_state(template_states, 0)
+    fold_states, next_epochs = [], []
+    for name in names:
+        like_dict = {"params": like.params, "batch_stats": like.batch_stats,
+                     "opt_state": like.opt_state, "step": like.step}
+        restored = experiment.load_params(name, like_dict, tag="last")
+        meta = experiment.load_meta(name, tag="last")
+        fold_states.append(like.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"])))
+        next_epochs.append(int(meta.get("epoch", -1)) + 1)
+    stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                           *fold_states)
+    return (jax.device_put(stacked, fp._fold_sharding), min(next_epochs))
+
+
 def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
                                                             np.ndarray,
                                                             Optional[np.ndarray]]],
                       epochs: Optional[int] = None, seed: int = 1234,
                       valid_data: Optional[List[Tuple]] = None,
-                      experiment=None, checkpoint_names=None):
-    """Train K folds simultaneously.
+                      experiment=None, checkpoint_names=None,
+                      align_with_sequential: bool = False):
+    """Train K folds simultaneously with FULL sequential-loop semantics:
+    per-fold LR schedule (plateau/exponential per training.lr_schedule),
+    per-fold patience early stopping (stopped folds freeze on device via
+    the active mask — params, BN stats and optimizer moments stay
+    exactly as a sequential run would have left them), best+last
+    checkpointing, JSONL channel logging, and --resume. The reference's
+    production recipe (plateau LR + patience-20 stop,
+    reference: neptune.yaml:53-68) therefore behaves identically here.
 
     fold_data[k] = (images_u8, masks_u8, depths|None) for fold k's TRAIN
-    split. All folds see the same number of steps per epoch (depth-
-    stratified splits are equal-sized by construction). Returns the
-    stacked states and per-fold validation history.
+    split. Returns the stacked states and per-fold history.
+
+    ``align_with_sequential=True`` reproduces the sequential loop's
+    randomness exactly (same init seed for every fold, same augmentation
+    key stream, same shuffle order) so results match the sequential path
+    up to vmap-batching numerics — used by the equivalence tests.
     """
+    from salt_tpu.pipeline.api import _lr_schedule_callbacks
+    from salt_tpu.train.callbacks import (CallbackList, ChannelLogger,
+                                          EarlyStopping, ModelCheckpoint)
     from salt_tpu.train.loop import validate
 
+    cfg = config
+    t = cfg.training
+    if (t.lr_schedule or "none").lower() in ("lr_finder", "lr-finder"):
+        raise ValueError("lr_finder is a per-batch single-fold diagnostic; "
+                         "use the sequential path")
     k = len(fold_data)
     fp = FoldParallelRunner(config, k)
-    states = fp.init_states(seed)
-    cfg = config
-    bs = cfg.training.batch_size_train
-    n_min = min(d[0].shape[0] for d in fold_data)
-    bs = min(bs, n_min)
-    steps_per_epoch = n_min // bs
-    epochs = epochs if epochs is not None else cfg.training.epochs
-    host_rng = np.random.RandomState(seed)
-    base_key = jax.random.PRNGKey(seed)
-    history = []
-    best = [None] * k
 
-    for epoch_id in range(epochs):
-        orders = [host_rng.permutation(d[0].shape[0]) for d in fold_data]
+    # per-fold callback stacks — the SAME classes the sequential fit()
+    # consumes, so schedule/stop/checkpoint semantics cannot drift
+    callbacks: List[CallbackList] = []
+    for i in range(k):
+        items = list(_lr_schedule_callbacks(t))
+        items.append(EarlyStopping(t.validation_metric_name, t.patience,
+                                   t.minimize_validation_metric))
+        if experiment is not None and checkpoint_names is not None:
+            items.insert(0, ModelCheckpoint(
+                experiment, checkpoint_names[i],
+                metric_name=t.validation_metric_name,
+                minimize=t.minimize_validation_metric))
+            items.append(ChannelLogger(
+                experiment.directory +
+                f"/channels_{checkpoint_names[i]}.jsonl"))
+        callbacks.append(CallbackList(items))
+
+    states = fp.init_states(seed, identical=align_with_sequential)
+    start_epoch = 0
+    if (cfg.execution.resume and experiment is not None
+            and checkpoint_names is not None
+            and all(experiment.has_checkpoint(n, tag="last")
+                    for n in checkpoint_names)):
+        states, start_epoch = _load_last_stacked(fp, experiment,
+                                                 checkpoint_names, states)
+        logger.info("fold-parallel resume from epoch %d", start_epoch)
+
+    bs = min(t.batch_size_train, min(d[0].shape[0] for d in fold_data))
+    steps_per_epoch = min(d[0].shape[0] for d in fold_data) // bs
+    epochs = epochs if epochs is not None else t.epochs
+    base_key = jax.random.PRNGKey(seed)
+    # sequential fit() creates RandomState(seed) per fold — aligned mode
+    # mirrors that; default decorrelates the shuffle streams
+    fold_rngs = [np.random.RandomState(seed if align_with_sequential
+                                       else seed + 9973 * i)
+                 for i in range(k)]
+    history = []
+    lrs = np.full((k,), t.lr, np.float32)
+    active = np.ones((k,), bool)
+    ctxs = [{"state": None, "learning_rate": float(t.lr), "epoch_id": 0,
+             "batch_id": 0, "batch_loss": 0.0} for _ in range(k)]
+    for i in range(k):
+        callbacks[i].on_train_begin(ctxs[i])
+
+    for epoch_id in range(start_epoch, epochs):
+        orders = []
+        for i in range(k):
+            idx = np.arange(fold_data[i][0].shape[0])
+            if cfg.execution.shuffle:
+                fold_rngs[i].shuffle(idx)
+            orders.append(idx)
         losses = []
         for step in range(steps_per_epoch):
-            imgs = np.stack([fold_data[i][0][orders[i][step * bs:(step + 1) * bs]]
-                             for i in range(k)])
-            msks = np.stack([fold_data[i][1][orders[i][step * bs:(step + 1) * bs]]
-                             for i in range(k)])
+            sel = [orders[i][step * bs:(step + 1) * bs] for i in range(k)]
+            imgs = np.stack([fold_data[i][0][sel[i]] for i in range(k)])
+            msks = np.stack([fold_data[i][1][sel[i]] for i in range(k)])
             if fp.runner.use_depth:
-                deps = np.stack([
-                    fold_data[i][2][orders[i][step * bs:(step + 1) * bs]]
-                    .reshape(-1, 1).astype(np.float32) for i in range(k)])
+                deps = np.stack([fold_data[i][2][sel[i]]
+                                 .reshape(-1, 1).astype(np.float32)
+                                 for i in range(k)])
             else:
                 deps = np.zeros((k, bs, 1), np.float32)
             di, dm, dd = fp.shard_fold_batch(imgs, msks, deps)
-            keys = jax.random.split(
-                jax.random.fold_in(base_key, epoch_id * 100003 + step), k)
-            states, loss = fp.train_step(states, di, dm, dd, keys)
+            step_key = jax.random.fold_in(base_key,
+                                          epoch_id * 100003 + step)
+            keys = (jnp.stack([step_key] * k) if align_with_sequential
+                    else jax.random.split(step_key, k))
+            states, loss = fp.train_step(states, di, dm, dd, keys,
+                                         jnp.asarray(active))
             losses.append(loss)
         mean_loss = np.asarray(jnp.stack(losses)).mean(axis=0)  # [K]
         record = {"epoch": epoch_id,
-                  "train_loss": [float(v) for v in mean_loss]}
+                  "train_loss": [float(v) for v in mean_loss],
+                  "lr": [float(v) for v in lrs],
+                  "active": active.tolist()}
 
-        if valid_data is not None:
-            fold_scores = []
-            for i in range(k):
-                state_i = fp.fold_state(states, i)
+        fold_scores: List[Optional[dict]] = [None] * k
+        for i in range(k):
+            if not active[i]:
+                continue
+            ctx = ctxs[i]
+            ctx["epoch_id"] = epoch_id
+            ctx["train_loss"] = float(mean_loss[i])
+            ctx["learning_rate"] = float(lrs[i])
+            state_i = fp.fold_state(states, i)
+            ctx["state"] = state_i
+            if valid_data is not None:
                 val = validate(fp.runner, state_i, *valid_data[i],
                                compute_loss=False)
-                fold_scores.append(val)
-                if experiment is not None and checkpoint_names is not None:
-                    score = val["iout"]
-                    if best[i] is None or score > best[i]:
-                        best[i] = score
-                        experiment.save_params(
-                            checkpoint_names[i],
-                            {"params": state_i.params,
-                             "batch_stats": state_i.batch_stats},
-                            meta={"epoch": epoch_id, "iout": score,
-                                  "threshold": val["threshold"]})
+                fold_scores[i] = val
+                ctx["validation"] = val
+            callbacks[i].on_epoch_end(ctx)
+            new_lr = callbacks[i].new_learning_rate(ctx)
+            if new_lr is not None:
+                lrs[i] = new_lr
+                ctx["learning_rate"] = float(new_lr)
+            if callbacks[i].training_break(ctx):
+                logger.info("fold %d early-stopped at epoch %d", i, epoch_id)
+                active[i] = False
+        states = _set_fold_lrs(states, lrs)
+        if valid_data is not None:
             record["val"] = fold_scores
             logger.info("epoch %d fold IOUTs: %s", epoch_id,
-                        [round(v["iout"], 4) for v in fold_scores])
+                        [round(v["iout"], 4) if v else None
+                         for v in fold_scores])
         history.append(record)
+        if not active.any():
+            logger.info("all folds early-stopped at epoch %d", epoch_id)
+            break
+
+    for i in range(k):
+        ctxs[i]["state"] = fp.fold_state(states, i)
+        callbacks[i].on_train_end(ctxs[i])
     return states, history
