@@ -73,7 +73,11 @@ class ModelConfig:
     num_filters: int = 32
     dropout_2d: float = 0.0
     use_hypercolumn: bool = True
-    pretrained: bool = False              # pretrained-weight import (converter in models/)
+    pretrained: bool = False              # graft pretrained encoder weights at init
+    # torch .pth/.pt or converted .npz encoder checkpoint; required when
+    # pretrained=True (the reference auto-downloads ImageNet weights,
+    # encoders.py:10-19 — this environment has no egress)
+    pretrained_weights_path: str = ""
     pool0: bool = False
     # scratch SaltUNet knobs (neptune.yaml:43-48)
     nr_outputs: int = 1

@@ -88,9 +88,12 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
+        # explicit (1,1) padding = torch Conv2d(padding=1): for stride 2
+        # on even dims flax "SAME" would pad (0,1) and compute DIFFERENT
+        # values than the checkpoint's source framework
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
-                    padding="SAME", use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = _BN(self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
@@ -124,7 +127,8 @@ class Bottleneck(nn.Module):
         y = _BN(self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = nn.Conv(width, (3, 3), strides=(self.strides,) * 2,
-                    padding="SAME", feature_group_count=self.groups,
+                    padding=[(1, 1), (1, 1)],
+                    feature_group_count=self.groups,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = _BN(self.dtype, name="bn2")(y, train)
         y = nn.relu(y)

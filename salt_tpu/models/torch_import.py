@@ -31,8 +31,13 @@ import numpy as np
 
 
 def load_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a torch checkpoint into numpy (torch is only needed here,
-    on the host, never on the TPU path)."""
+    """Read a checkpoint into numpy. ``.npz`` files (torch-style key
+    names, numpy values) load without torch; anything else goes through
+    ``torch.load`` (torch is only needed here, on the host, never on the
+    TPU path)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
@@ -99,6 +104,59 @@ def convert_resnet_encoder(sd: Dict[str, np.ndarray]
                 stats[name] = block_s
             i += 1
     return params, stats
+
+
+def convert_densenet_encoder(sd: Dict[str, np.ndarray]
+                             ) -> Tuple[dict, dict]:
+    """torchvision-DenseNet state_dict (``features.*`` naming) ->
+    (params, batch_stats) trees matching
+    salt_tpu.models.encoders.DenseNetEncoder
+    (reference loads these weights at encoders.py:121-164)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put_bn(torch_prefix: str, tree_name: str):
+        bn_p, bn_s = _bn(sd, torch_prefix)
+        params[tree_name] = {"BatchNorm_0": bn_p}
+        stats[tree_name] = {"BatchNorm_0": bn_s}
+
+    params["conv0"] = {"kernel": _conv(sd["features.conv0.weight"])}
+    put_bn("features.norm0", "norm0")
+
+    block = 1
+    while f"features.denseblock{block}.denselayer1.conv1.weight" in sd:
+        layer = 1
+        while (f"features.denseblock{block}.denselayer{layer}.conv1.weight"
+               in sd):
+            pre = f"features.denseblock{block}.denselayer{layer}"
+            name = f"denseblock{block}_{layer - 1}"   # 0-based flax naming
+            lp: dict = {}
+            ls: dict = {}
+            for norm_id, conv_id in ((1, 1), (2, 2)):
+                bn_p, bn_s = _bn(sd, f"{pre}.norm{norm_id}")
+                lp[f"norm{norm_id}"] = {"BatchNorm_0": bn_p}
+                ls[f"norm{norm_id}"] = {"BatchNorm_0": bn_s}
+                lp[f"conv{conv_id}"] = {
+                    "kernel": _conv(sd[f"{pre}.conv{conv_id}.weight"])}
+            params[name] = lp
+            stats[name] = ls
+            layer += 1
+        if f"features.transition{block}.conv.weight" in sd:
+            put_bn(f"features.transition{block}.norm",
+                   f"transition{block}_norm")
+            params[f"transition{block}_conv"] = {
+                "kernel": _conv(sd[f"features.transition{block}.conv.weight"])}
+        block += 1
+    return params, stats
+
+
+def convert_encoder(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """Dispatch on the checkpoint's naming scheme: torchvision DenseNet
+    (``features.*``), pretrainedmodels SENet (``layer0.*``), or
+    torchvision ResNet."""
+    if any(k.startswith("features.") for k in sd):
+        return convert_densenet_encoder(sd)
+    return convert_resnet_encoder(sd)
 
 
 def graft_encoder(variables: dict, enc_params: dict, enc_stats: dict,

@@ -79,7 +79,35 @@ class SegmentationRunner:
         sample = jnp.zeros((b, *self._net_hw, 3), jnp.float32)
         depth = jnp.zeros((b, 1), jnp.float32) if self.use_depth else None
         state = create_train_state(self.model, rng, sample, self.tx, depth)
+        if self.config.model.pretrained:
+            state = self._graft_pretrained(state)
         return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _graft_pretrained(self, state: TrainState) -> TrainState:
+        """Replace the encoder subtree with converted pretrained weights
+        (the reference builds every production encoder from ImageNet
+        checkpoints, encoders.py:10-19,52-57,90-93,125-132)."""
+        from salt_tpu.core.logging import get_logger
+        from salt_tpu.models.torch_import import (convert_encoder,
+                                                  graft_encoder,
+                                                  load_state_dict)
+        path = self.config.model.pretrained_weights_path
+        if not path:
+            raise ValueError(
+                "model.pretrained=True requires model.pretrained_weights_path"
+                " — a torch .pth/.pt or converted .npz encoder checkpoint "
+                "(this environment cannot download ImageNet weights)")
+        sd = load_state_dict(path)
+        enc_params, enc_stats = convert_encoder(sd)
+        variables = graft_encoder(
+            {"params": jax.tree.map(np.asarray, state.params),
+             "batch_stats": jax.tree.map(np.asarray, state.batch_stats)},
+            enc_params, enc_stats)
+        n = len(jax.tree.leaves(enc_params)) + len(jax.tree.leaves(enc_stats))
+        get_logger().info("grafted pretrained encoder from %s (%d arrays)",
+                          path, n)
+        return state.replace(params=variables["params"],
+                             batch_stats=variables["batch_stats"])
 
     # -- fused graphs -----------------------------------------------------
     def _train_inputs(self, images_u8, masks_u8, rng):
