@@ -73,12 +73,20 @@ class ModelConfig:
     num_filters: int = 32
     dropout_2d: float = 0.0
     use_hypercolumn: bool = True
+    # "sum" = sliced-kernel per-branch convs (exact same math/params,
+    # avoids materializing the 5x-channel concat); "concat" = literal
+    # reference formulation (unet.py:101-107). A/B-able, checkpoint-compatible.
+    hypercolumn_impl: str = "sum"
     pretrained: bool = False              # graft pretrained encoder weights at init
     # torch .pth/.pt or converted .npz encoder checkpoint; required when
     # pretrained=True (the reference auto-downloads ImageNet weights,
     # encoders.py:10-19 — this environment has no egress)
     pretrained_weights_path: str = ""
     pool0: bool = False
+    # inference-only conv quantization: 0 = off, 8 = AQT int8 on the
+    # v5e MXU int8 path (2x bf16 rate). Training always runs full
+    # precision; checkpoints are identical either way (models/quant.py)
+    quant_bits: int = 0
     # scratch SaltUNet knobs (neptune.yaml:43-48)
     nr_outputs: int = 1
     n_filters: int = 16

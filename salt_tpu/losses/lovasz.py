@@ -46,6 +46,15 @@ def weigh_errors_with_size(labels: jax.Array, errors: jax.Array) -> jax.Array:
     return jnp.where(size == 0, errors, errors * weights)
 
 
+def _use_pallas_sort() -> bool:
+    """Pallas sort only on real TPU backends (the Mosaic kernel neither
+    compiles for CPU nor pays off there)."""
+    import os
+    if os.environ.get("SALT_TPU_NO_PALLAS_SORT"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def lovasz_hinge_flat(logits: jax.Array, labels: jax.Array,
                       size_weighted: bool = False) -> jax.Array:
     """Binary Lovász hinge on flat [P] logits/labels
@@ -91,6 +100,15 @@ def lovasz_hinge(logits: jax.Array, labels: jax.Array,
     flat = lambda lo, la: lovasz_hinge_flat(lo, la,
                                             size_weighted=size_weighted)
     if per_image:
+        p = flat_logits.shape[-1]
+        # Pallas VMEM-resident sort on TPU (ops/pallas_sort.py): the
+        # whole 120-stage network runs on-chip; A/B'd vs the jnp bitonic
+        # network (identical values, see test_pallas_sort.py)
+        if p & (p - 1) == 0 and p % 128 == 0 and _use_pallas_sort():
+            from salt_tpu.ops.pallas_sort import lovasz_hinge_flat_pallas
+            losses = lovasz_hinge_flat_pallas(flat_logits, flat_labels,
+                                              size_weighted=size_weighted)
+            return jnp.mean(losses)
         losses = jax.vmap(flat)(flat_logits, flat_labels)
         return jnp.mean(losses)
     return flat(flat_logits.reshape(-1), flat_labels.reshape(-1))

@@ -23,6 +23,12 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def conv_kwargs(conv_fn):
+    """kwargs injecting a quantized conv impl into nn.Conv (see
+    models/quant.py); empty dict keeps flax's exact lax conv."""
+    return {"conv_general_dilated": conv_fn} if conv_fn is not None else {}
+
+
 def upsample2x(x: jax.Array, factor: int = 2) -> jax.Array:
     """Bilinear NHWC upsample (reference uses nn.Upsample/F.upsample
     bilinear, base.py:70, unet.py:101-107).
@@ -45,12 +51,13 @@ class ConvBnRelu(nn.Module):
     use_relu: bool = True
     use_batch_norm: bool = True
     dtype: Dtype = jnp.float32
+    conv_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
                     padding="SAME", use_bias=not self.use_batch_norm,
-                    dtype=self.dtype)(x)
+                    dtype=self.dtype, **conv_kwargs(self.conv_fn))(x)
         if self.use_batch_norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype)(x)
@@ -117,6 +124,7 @@ class DecoderBlock(nn.Module):
     middle_features: int
     features: int
     dtype: Dtype = jnp.float32
+    conv_fn: Any = None
 
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None,
@@ -124,8 +132,10 @@ class DecoderBlock(nn.Module):
         x = upsample2x(x)
         if skip is not None:
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        x = ConvBnRelu(self.middle_features, dtype=self.dtype)(x, train)
-        x = ConvBnRelu(self.features, dtype=self.dtype)(x, train)
+        x = ConvBnRelu(self.middle_features, dtype=self.dtype,
+                       conv_fn=self.conv_fn)(x, train)
+        x = ConvBnRelu(self.features, dtype=self.dtype,
+                       conv_fn=self.conv_fn)(x, train)
         cse = ChannelSELayer(dtype=self.dtype)(x)
         sse = SpatialSELayer(dtype=self.dtype)(x)
         return nn.relu(cse + sse)

@@ -26,6 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from salt_tpu.models.blocks import conv_kwargs
+
 Dtype = Any
 
 RESNET_LAYERS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
@@ -84,27 +86,30 @@ class BasicBlock(nn.Module):
     strides: int = 1
     use_se: bool = False
     dtype: Dtype = jnp.float32
+    conv_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        ck = conv_kwargs(self.conv_fn)
         residual = x
         # explicit (1,1) padding = torch Conv2d(padding=1): for stride 2
         # on even dims flax "SAME" would pad (0,1) and compute DIFFERENT
         # values than the checkpoint's source framework
         y = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
                     padding=[(1, 1), (1, 1)], use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+                    dtype=self.dtype, name="conv1", **ck)(x)
         y = _BN(self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+                    dtype=self.dtype, name="conv2", **ck)(y)
         y = _BN(self.dtype, name="bn2")(y, train)
         if self.use_se:
             y = SEModule(dtype=self.dtype, name="se")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False,
-                               dtype=self.dtype, name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv",
+                               **ck)(x)
             residual = _BN(self.dtype, name="downsample_bn")(residual, train)
         return nn.relu(y + residual)
 
@@ -116,31 +121,34 @@ class Bottleneck(nn.Module):
     base_width: int = 64    # 4 for ResNeXt 32x4d
     use_se: bool = False
     dtype: Dtype = jnp.float32
+    conv_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        ck = conv_kwargs(self.conv_fn)
         inner = self.features // 4
         width = int(inner * (self.base_width / 64.0)) * self.groups
         residual = x
         y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+                    name="conv1", **ck)(x)
         y = _BN(self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = nn.Conv(width, (3, 3), strides=(self.strides,) * 2,
                     padding=[(1, 1), (1, 1)],
                     feature_group_count=self.groups,
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+                    use_bias=False, dtype=self.dtype, name="conv2", **ck)(y)
         y = _BN(self.dtype, name="bn2")(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+                    name="conv3", **ck)(y)
         y = _BN(self.dtype, name="bn3")(y, train)
         if self.use_se:
             y = SEModule(dtype=self.dtype, name="se")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1),
                                strides=(self.strides,) * 2, use_bias=False,
-                               dtype=self.dtype, name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv",
+                               **ck)(x)
             residual = _BN(self.dtype, name="downsample_bn")(residual, train)
         return nn.relu(y + residual)
 
@@ -154,6 +162,7 @@ class ResNetEncoder(nn.Module):
     groups: int = 1
     base_width: int = 64
     dtype: Dtype = jnp.float32
+    conv_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -164,7 +173,8 @@ class ResNetEncoder(nn.Module):
         Block = Bottleneck if bottleneck else BasicBlock
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1",
+                    **conv_kwargs(self.conv_fn))(x)
         x = _BN(self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         if self.pool0:
@@ -177,6 +187,7 @@ class ResNetEncoder(nn.Module):
                 strides = 2 if (stage > 0 and i == 0) else 1
                 kwargs = dict(features=w, strides=strides,
                               use_se=self.use_se, dtype=self.dtype,
+                              conv_fn=self.conv_fn,
                               name=f"layer{stage + 1}_{i}")
                 if bottleneck:
                     kwargs.update(groups=self.groups,
@@ -189,17 +200,19 @@ class ResNetEncoder(nn.Module):
 class DenseLayer(nn.Module):
     growth: int
     dtype: Dtype = jnp.float32
+    conv_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        ck = conv_kwargs(self.conv_fn)
         y = _BN(self.dtype, name="norm1")(x, train)
         y = nn.relu(y)
         y = nn.Conv(4 * self.growth, (1, 1), use_bias=False,
-                    dtype=self.dtype, name="conv1")(y)
+                    dtype=self.dtype, name="conv1", **ck)(y)
         y = _BN(self.dtype, name="norm2")(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.growth, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+                    dtype=self.dtype, name="conv2", **ck)(y)
         return jnp.concatenate([x, y], axis=-1)
 
 
@@ -209,6 +222,7 @@ class DenseNetEncoder(nn.Module):
     depth: int = 121
     pool0: bool = False
     dtype: Dtype = jnp.float32
+    conv_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -217,7 +231,8 @@ class DenseNetEncoder(nn.Module):
         init = DENSENET_INIT[self.depth]
 
         x = nn.Conv(init, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv0")(x)
+                    use_bias=False, dtype=self.dtype, name="conv0",
+                    **conv_kwargs(self.conv_fn))(x)
         x = _BN(self.dtype, name="norm0")(x, train)
         x = nn.relu(x)
         if self.pool0:
@@ -228,6 +243,7 @@ class DenseNetEncoder(nn.Module):
         for block_id, n in enumerate(layers):
             for i in range(n):
                 x = DenseLayer(growth, dtype=self.dtype,
+                               conv_fn=self.conv_fn,
                                name=f"denseblock{block_id + 1}_{i}")(x, train)
             feats.append(x)
             if block_id < len(layers) - 1:
@@ -242,19 +258,20 @@ class DenseNetEncoder(nn.Module):
 
 def make_encoder(kind: str, depth: int, pool0: bool = False,
                  dtype: Dtype = jnp.float32,
-                 name: str = "encoder") -> nn.Module:
+                 name: str = "encoder", conv_fn: Any = None) -> nn.Module:
     """All encoders get the fixed scope name 'encoder' so pretrained
     params graft into any trunk (see models/torch_import.py)."""
     if kind == "resnet":
         return ResNetEncoder(depth=depth, pool0=pool0, dtype=dtype,
-                             name=name)
+                             conv_fn=conv_fn, name=name)
     if kind == "se_resnet":
         return ResNetEncoder(depth=depth, pool0=pool0, use_se=True,
-                             dtype=dtype, name=name)
+                             dtype=dtype, conv_fn=conv_fn, name=name)
     if kind == "se_resnext":
         return ResNetEncoder(depth=depth, pool0=pool0, use_se=True,
-                             groups=32, base_width=4, dtype=dtype, name=name)
+                             groups=32, base_width=4, dtype=dtype,
+                             conv_fn=conv_fn, name=name)
     if kind == "densenet":
         return DenseNetEncoder(depth=depth, pool0=pool0, dtype=dtype,
-                               name=name)
+                               conv_fn=conv_fn, name=name)
     raise ValueError(f"unknown encoder kind {kind!r}")

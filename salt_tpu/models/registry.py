@@ -32,12 +32,19 @@ def _salt_linknet(cfg: ModelConfig, dtype):
                        repeat_blocks=cfg.repeat_blocks, dtype=dtype)
 
 
+def _conv_fn(cfg: ModelConfig):
+    from salt_tpu.models.quant import make_conv_fn
+    return make_conv_fn(getattr(cfg, "quant_bits", 0))
+
+
 def _unet_resnet(cfg: ModelConfig, dtype):
     from salt_tpu.models.unet import UNetResNet
     return UNetResNet(num_classes=cfg.num_classes,
                       encoder_depth=cfg.encoder_depth or 34,
                       use_hypercolumn=cfg.use_hypercolumn,
-                      dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype)
+                      dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
+                      conv_fn=_conv_fn(cfg),
+                      hypercolumn_impl=cfg.hypercolumn_impl)
 
 
 def _unet_seresnet(cfg: ModelConfig, dtype):
@@ -45,7 +52,9 @@ def _unet_seresnet(cfg: ModelConfig, dtype):
     return UNetSeResNet(num_classes=cfg.num_classes,
                         encoder_depth=cfg.encoder_depth if cfg.encoder_depth in (50, 101, 152) else 50,
                         use_hypercolumn=cfg.use_hypercolumn,
-                        dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype)
+                        dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
+                        conv_fn=_conv_fn(cfg),
+                        hypercolumn_impl=cfg.hypercolumn_impl)
 
 
 def _unet_seresnext(cfg: ModelConfig, dtype):
@@ -53,7 +62,9 @@ def _unet_seresnext(cfg: ModelConfig, dtype):
     return UNetSeResNetXt(num_classes=cfg.num_classes,
                           encoder_depth=cfg.encoder_depth if cfg.encoder_depth in (50, 101) else 50,
                           use_hypercolumn=cfg.use_hypercolumn,
-                          dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype)
+                          dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
+                          conv_fn=_conv_fn(cfg),
+                          hypercolumn_impl=cfg.hypercolumn_impl)
 
 
 def _unet_densenet(cfg: ModelConfig, dtype):
@@ -61,7 +72,9 @@ def _unet_densenet(cfg: ModelConfig, dtype):
     return UNetDenseNet(num_classes=cfg.num_classes,
                         encoder_depth=cfg.encoder_depth if cfg.encoder_depth in (121, 161, 169, 201) else 121,
                         use_hypercolumn=cfg.use_hypercolumn,
-                        dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype)
+                        dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
+                        conv_fn=_conv_fn(cfg),
+                        hypercolumn_impl=cfg.hypercolumn_impl)
 
 
 def _unet_resnet_depth(cfg: ModelConfig, dtype):

@@ -21,6 +21,69 @@ from salt_tpu.models.blocks import ConvBnRelu, DecoderBlock, upsample2x
 from salt_tpu.models.encoders import make_encoder
 
 
+class _SlicedConcatConv(nn.Module):
+    """3x3 conv over an implicit channel-concat, computed as a sum of
+    per-branch convs with slices of ONE kernel parameter.
+
+    Mathematically identical to ``nn.Conv(concat(branches))`` — conv is
+    linear in its input channels, so conv(concat(b_i); K) ==
+    sum_i conv(b_i; K[:, :, off_i:off_i+c_i, :]) — and parameter-tree
+    identical (same single ``kernel`` of shape [3, 3, sum(c_i), f], same
+    lecun-normal init), so checkpoints are interchangeable between the
+    two head implementations. The win: XLA never materializes the
+    5x-channel full-resolution concat (the hypercolumn's dominant HBM
+    traffic; VERDICT r1 measured the head at ~7.5 ms of a ~26 ms
+    forward at bs64)."""
+    features: int
+    in_channels: int
+    dtype: Any = jnp.float32
+    conv_fn: Any = None
+
+    @nn.compact
+    def __call__(self, branches):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_channels, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            branches[0].shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        conv = self.conv_fn or jax.lax.conv_general_dilated
+        out = None
+        off = 0
+        for b in branches:
+            c = b.shape[-1]
+            y = conv(
+                b.astype(self.dtype), k[:, :, off:off + c, :],
+                window_strides=(1, 1), padding="SAME",
+                dimension_numbers=dn)
+            out = y if out is None else out + y
+            off += c
+        assert off == self.in_channels
+        return out
+
+
+class _HypercolumnHead(nn.Module):
+    """ConvBnRelu over the hypercolumn, with the conv computed by
+    :class:`_SlicedConcatConv`. Scoped so the parameter paths are
+    byte-identical to ``ConvBnRelu(name="final_conv")`` applied to the
+    explicit concat (``final_conv/Conv_0/kernel`` +
+    ``final_conv/BatchNorm_0``): checkpoints trained with either head
+    implementation load into the other."""
+    features: int
+    dtype: Any = jnp.float32
+    conv_fn: Any = None
+
+    @nn.compact
+    def __call__(self, branches, train: bool = False):
+        cin = sum(br.shape[-1] for br in branches)
+        y = _SlicedConcatConv(self.features, cin, dtype=self.dtype,
+                              conv_fn=self.conv_fn, name="Conv_0")(branches)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         name="BatchNorm_0")(y)
+        return nn.relu(y)
+
+
 class UNetTrunk(nn.Module):
     """The shared encoder->center->decoder->head pipeline."""
     encoder_kind: str = "resnet"
@@ -30,7 +93,9 @@ class UNetTrunk(nn.Module):
     use_hypercolumn: bool = True
     pool0: bool = False
     bottom_channels: int = 512
+    hypercolumn_impl: str = "sum"     # "sum" (sliced-kernel) | "concat"
     dtype: Any = jnp.float32
+    conv_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_dec1: bool = False):
@@ -38,41 +103,49 @@ class UNetTrunk(nn.Module):
         x = x.astype(self.dtype)
         enc2, enc3, enc4, enc5 = make_encoder(
             self.encoder_kind, self.encoder_depth, self.pool0,
-            self.dtype)(x, train)
+            self.dtype, conv_fn=self.conv_fn)(x, train)
 
         if self.dropout_2d > 0:
             enc5 = nn.Dropout(self.dropout_2d, broadcast_dims=(1, 2),
                               deterministic=not train)(enc5)
 
         # center: 2x ConvBnRelu then avg-pool stride 2 (unet.py:60-63)
-        center = ConvBnRelu(b, dtype=self.dtype, name="center_conv1")(enc5, train)
-        center = ConvBnRelu(b // 2, dtype=self.dtype,
+        cf = self.conv_fn
+        center = ConvBnRelu(b, dtype=self.dtype, conv_fn=cf,
+                            name="center_conv1")(enc5, train)
+        center = ConvBnRelu(b // 2, dtype=self.dtype, conv_fn=cf,
                             name="center_conv2")(center, train)
         center = nn.avg_pool(center, (2, 2), strides=(2, 2))
 
-        dec5 = DecoderBlock(b, b // 8, dtype=self.dtype,
+        dec5 = DecoderBlock(b, b // 8, dtype=self.dtype, conv_fn=cf,
                             name="dec5")(center, enc5, train)
-        dec4 = DecoderBlock(b // 2, b // 8, dtype=self.dtype,
+        dec4 = DecoderBlock(b // 2, b // 8, dtype=self.dtype, conv_fn=cf,
                             name="dec4")(dec5, enc4, train)
-        dec3 = DecoderBlock(b // 4, b // 8, dtype=self.dtype,
+        dec3 = DecoderBlock(b // 4, b // 8, dtype=self.dtype, conv_fn=cf,
                             name="dec3")(dec4, enc3, train)
-        dec2 = DecoderBlock(b // 8, b // 8, dtype=self.dtype,
+        dec2 = DecoderBlock(b // 8, b // 8, dtype=self.dtype, conv_fn=cf,
                             name="dec2")(dec3, enc2, train)
-        dec1 = DecoderBlock(b // 16, b // 8, dtype=self.dtype,
+        dec1 = DecoderBlock(b // 16, b // 8, dtype=self.dtype, conv_fn=cf,
                             name="dec1")(dec2, None, train)
 
         if self.use_hypercolumn:
-            head_in = jnp.concatenate([
+            branches = [
                 dec1,
                 upsample2x(dec2, 2),
                 upsample2x(dec3, 4),
                 upsample2x(dec4, 8),
                 upsample2x(dec5, 16),
-            ], axis=-1)
+            ]
+            if self.hypercolumn_impl == "sum":
+                y = _HypercolumnHead(b // 8, dtype=self.dtype, conv_fn=cf,
+                                     name="final_conv")(branches, train)
+            else:
+                head_in = jnp.concatenate(branches, axis=-1)
+                y = ConvBnRelu(b // 8, dtype=self.dtype, conv_fn=cf,
+                               name="final_conv")(head_in, train)
         else:
-            head_in = dec1
-
-        y = ConvBnRelu(b // 8, dtype=self.dtype, name="final_conv")(head_in, train)
+            y = ConvBnRelu(b // 8, dtype=self.dtype, conv_fn=cf,
+                           name="final_conv")(dec1, train)
         if return_dec1:
             return y
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
@@ -81,35 +154,42 @@ class UNetTrunk(nn.Module):
 
 
 def UNetResNet(encoder_depth=34, num_classes=2, dropout_2d=0.0,
-               use_hypercolumn=True, pool0=False, dtype=jnp.float32):
+               use_hypercolumn=True, pool0=False, dtype=jnp.float32,
+               conv_fn=None, hypercolumn_impl="sum"):
     """(reference: unet.py:22-109; registry defaults models.py:15-19)."""
     bottom = 512 if encoder_depth in (18, 34) else 2048
     return UNetTrunk(encoder_kind="resnet", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
-                     bottom_channels=bottom, dtype=dtype)
+                     bottom_channels=bottom, dtype=dtype, conv_fn=conv_fn,
+                     hypercolumn_impl=hypercolumn_impl)
 
 
 def UNetSeResNet(encoder_depth=50, num_classes=2, dropout_2d=0.0,
-                 use_hypercolumn=True, pool0=False, dtype=jnp.float32):
+                 use_hypercolumn=True, pool0=False, dtype=jnp.float32,
+                 conv_fn=None, hypercolumn_impl="sum"):
     """(reference: unet.py:112-172)."""
     return UNetTrunk(encoder_kind="se_resnet", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
-                     bottom_channels=2048, dtype=dtype)
+                     bottom_channels=2048, dtype=dtype, conv_fn=conv_fn,
+                     hypercolumn_impl=hypercolumn_impl)
 
 
 def UNetSeResNetXt(encoder_depth=50, num_classes=2, dropout_2d=0.0,
-                   use_hypercolumn=True, pool0=False, dtype=jnp.float32):
+                   use_hypercolumn=True, pool0=False, dtype=jnp.float32,
+                   conv_fn=None, hypercolumn_impl="sum"):
     """(reference: unet.py:175-235; SE-ResNeXt50_32x4d encoder)."""
     return UNetTrunk(encoder_kind="se_resnext", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
-                     bottom_channels=2048, dtype=dtype)
+                     bottom_channels=2048, dtype=dtype, conv_fn=conv_fn,
+                     hypercolumn_impl=hypercolumn_impl)
 
 
 def UNetDenseNet(encoder_depth=121, num_classes=2, dropout_2d=0.0,
-                 use_hypercolumn=True, pool0=False, dtype=jnp.float32):
+                 use_hypercolumn=True, pool0=False, dtype=jnp.float32,
+                 conv_fn=None, hypercolumn_impl="sum"):
     """(reference: unet.py:238-307). bottom_channels follows the last
     dense block (1024 for densenet121)."""
     from salt_tpu.models.encoders import encoder_channels
@@ -117,4 +197,5 @@ def UNetDenseNet(encoder_depth=121, num_classes=2, dropout_2d=0.0,
     return UNetTrunk(encoder_kind="densenet", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
-                     bottom_channels=bottom, dtype=dtype)
+                     bottom_channels=bottom, dtype=dtype, conv_fn=conv_fn,
+                     hypercolumn_impl=hypercolumn_impl)

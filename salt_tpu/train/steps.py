@@ -52,7 +52,14 @@ class SegmentationRunner:
             config.parallel.n_devices)
         self.use_depth = (config.execution.use_depth
                           or takes_depth(config.model.architecture))
-        self.model = build_model(config.model, config.training.dtype)
+        # training/validation always run full precision; model.quant_bits
+        # switches ONLY the predict paths to AQT int8 convs (same param
+        # tree — see models/quant.py)
+        import dataclasses as _dc
+        self.model = build_model(
+            _dc.replace(config.model, quant_bits=0), config.training.dtype)
+        self.infer_model = (build_model(config.model, config.training.dtype)
+                            if config.model.quant_bits else self.model)
         self.tx = make_optimizer(config.training.lr,
                                  config.training.l2_reg_conv)
         self.loss_fn = get_loss_fn(config.training.loss)
@@ -147,16 +154,17 @@ class SegmentationRunner:
         return add_depth_channels(normalize_gray(x))
 
     def _apply(self, params, batch_stats, x, depths, train, rng=None,
-               mutable=False):
+               mutable=False, infer=False):
         variables = {"params": params, "batch_stats": batch_stats}
         args = (x,) if not self.use_depth else (x, depths)
         kwargs = dict(train=train)
         if rng is not None:
             kwargs["rngs"] = {"dropout": rng}
+        model = self.infer_model if infer else self.model
         if mutable:
-            return self.model.apply(variables, *args, mutable=["batch_stats"],
-                                    **kwargs)
-        return self.model.apply(variables, *args, **kwargs)
+            return model.apply(variables, *args, mutable=["batch_stats"],
+                               **kwargs)
+        return model.apply(variables, *args, **kwargs)
 
     def _compile_steps(self):
         loss_fn = self.loss_fn
@@ -250,7 +258,8 @@ class SegmentationRunner:
             x = self._infer_inputs(big)
             d = (jnp.concatenate([depths] * len(specs), axis=0)
                  if depths is not None else None)
-            logits = self._apply(params, batch_stats, x, d, train=False)
+            logits = self._apply(params, batch_stats, x, d, train=False,
+                                 infer=True)
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             probs = jnp.transpose(probs, (0, 3, 1, 2))       # [T*B,2,H,W]
             outs = [tta_inverse_transform(probs[i * b:(i + 1) * b], s)
