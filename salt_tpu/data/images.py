@@ -57,10 +57,17 @@ def pack_dataset(meta: pd.DataFrame, with_masks: bool = True
     depths [N] float32 = z/1000 as fed to depth-aware models, reference:
     loaders.py:310-311).
     """
-    images = np.stack([to_grayscale(np.array(Image.open(p)))
-                       for p in meta["file_path_image"].values]).astype(np.uint8)
+    from salt_tpu.data.native_png import pack_pngs
+    img_paths = meta["file_path_image"].values
+    images = pack_pngs(img_paths, 101, 101)         # native parallel decode
+    if images is None:                              # fallback: PIL loop
+        images = np.stack([to_grayscale(np.array(Image.open(p)))
+                           for p in img_paths]).astype(np.uint8)
     masks = None
     if with_masks and "file_path_mask" in meta and meta["file_path_mask"].notna().all():
-        masks = np.stack(read_masks(meta["file_path_mask"].values)).astype(np.uint8)
+        mask_paths = meta["file_path_mask"].values
+        masks = pack_pngs(mask_paths, 101, 101, mask_threshold=128)
+        if masks is None:
+            masks = np.stack(read_masks(mask_paths)).astype(np.uint8)
     depths = (meta["z"].values.astype(np.float32) / 1000.0)
     return images, masks, depths
