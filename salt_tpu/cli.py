@@ -43,7 +43,7 @@ def main(argv=None):
         "evaluate-cv", "evaluate-predict-cv",
         "empty-train", "empty-evaluate", "empty-cv",
         "empty-evaluate-cv", "empty-evaluate-predict-cv",
-        "stacking-cv", "full-solution"])
+        "stacking-cv", "full-solution", "serve"])
     parser.add_argument("--workdir", default="output/full_solution",
                         help="full-solution: root dir for the "
                              "segmentation/emptiness/stacking stages")
@@ -70,6 +70,20 @@ def main(argv=None):
                         metavar="SECTION.FIELD=VALUE",
                         help="config overrides, e.g. "
                              "--set model.architecture=PSPNet")
+    parser.add_argument("--checkpoint", default="",
+                        help="serve: best.npz file, experiment dir, or CV "
+                             "experiment dir (fold checkpoints ensembled)")
+    parser.add_argument("--images-dir", default="",
+                        help="serve: directory of 101x101 PNGs")
+    parser.add_argument("--out", default="submission.csv",
+                        help="serve: output submission path")
+    parser.add_argument("--probs-out", default="",
+                        help="serve: also write probabilities npz")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve: AQT int8 inference convs "
+                             "(model.quant_bits=8)")
+    parser.add_argument("--no-tta", action="store_true",
+                        help="serve: plain single-pass inference")
     parser.add_argument("--profile", default="", metavar="DIR",
                         help="capture a jax profiler trace of the run "
                              "into DIR (TensorBoard format)")
@@ -106,6 +120,15 @@ def main(argv=None):
         cfg.execution.resume = True
     if args.epochs is not None:
         cfg.training.epochs = args.epochs
+
+    if args.command == "serve":
+        from salt_tpu.pipeline.serving import serve
+        if args.int8:
+            cfg.model.quant_bits = 8
+        cfg.postpro.use_tta = not args.no_tta
+        print(serve(cfg, args.checkpoint, args.images_dir, args.out,
+                    args.probs_out, synthetic=args.synthetic))
+        return 0
 
     if args.command == "prepare-metadata":
         from salt_tpu.data.metadata import generate_metadata

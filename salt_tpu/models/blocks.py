@@ -29,15 +29,38 @@ def conv_kwargs(conv_fn):
     return {"conv_general_dilated": conv_fn} if conv_fn is not None else {}
 
 
+def _up2_interleave(x: jax.Array) -> jax.Array:
+    """2x bilinear upsample as two 2-tap blends + interleave — the exact
+    half-pixel-center stencil jax.image.resize(method='linear') computes
+    for scale 2 (out[2k] = .25 x[k-1] + .75 x[k]; out[2k+1] = .75 x[k] +
+    .25 x[k+1]; edges clamped), verified equal to 1e-7. Spelled out so
+    XLA sees pure shifts/FMAs instead of the general scale-and-translate
+    gather."""
+    b, h, w, c = x.shape
+    xm = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    xp = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    x = jnp.stack([0.75 * x + 0.25 * xm, 0.75 * x + 0.25 * xp],
+                  axis=2).reshape(b, 2 * h, w, c)
+    xm = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
+    xp = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    return jnp.stack([0.75 * x + 0.25 * xm, 0.75 * x + 0.25 * xp],
+                     axis=3).reshape(b, 2 * h, 2 * w, c)
+
+
 def upsample2x(x: jax.Array, factor: int = 2) -> jax.Array:
     """Bilinear NHWC upsample (reference uses nn.Upsample/F.upsample
     bilinear, base.py:70, unet.py:101-107).
 
-    jax.image.resize, not matmul interpolation: an interleaved on-TPU
-    A/B of the full flagship graphs measured resize faster for
-    inference (66 vs 81 ms/TTA-batch) and identical for training
-    (85 ms/step both) — XLA's fused resize beats dense one-hot matmuls
-    end-to-end even though isolated microbenchmarks suggest otherwise."""
+    jax.image.resize, measured fastest end-to-end in interleaved on-TPU
+    A/Bs of the full flagship graphs: vs matmul interpolation (66 vs
+    81 ms/TTA-batch, round 1) and vs the explicit 2-tap interleave
+    stencil above (22.5 vs 27.0 ms/TTA-batch at bs64 int8, round 2 —
+    the stack+reshape interleave produces worse layouts than XLA's own
+    resize lowering). SALT_TPU_INTERLEAVE_UPSAMPLE=1 re-enables the
+    stencil for future A/Bs."""
+    import os
+    if factor == 2 and os.environ.get("SALT_TPU_INTERLEAVE_UPSAMPLE"):
+        return _up2_interleave(x)
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, h * factor, w * factor, c),
                             method="linear")
@@ -118,6 +141,60 @@ class SpatialSELayer(nn.Module):
         return x * y
 
 
+class SlicedConcatConv(nn.Module):
+    """3x3 conv over an implicit channel-concat: one kernel parameter of
+    shape [3, 3, sum(c_i), f] sliced per branch, outputs summed.
+    Mathematically identical to ``nn.Conv(concat(branches))`` (conv is
+    linear in input channels) with an identical parameter tree, so
+    checkpoints are interchangeable — but XLA never materializes the
+    concatenated activation (measured win: hypercolumn head ~7.5 ms ->
+    ~0 ms of a 26 ms flagship forward at bs64 on v5e)."""
+    features: int
+    in_channels: int
+    dtype: Dtype = jnp.float32
+    conv_fn: Any = None
+
+    @nn.compact
+    def __call__(self, branches):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_channels, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            branches[0].shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        conv = self.conv_fn or jax.lax.conv_general_dilated
+        out = None
+        off = 0
+        for b in branches:
+            c = b.shape[-1]
+            y = conv(b.astype(self.dtype), k[:, :, off:off + c, :],
+                     window_strides=(1, 1), padding="SAME",
+                     dimension_numbers=dn)
+            out = y if out is None else out + y
+            off += c
+        assert off == self.in_channels
+        return out
+
+
+class SlicedConcatConvBnRelu(nn.Module):
+    """ConvBnRelu over an implicit concat via :class:`SlicedConcatConv`.
+    Parameter paths are byte-identical to ``ConvBnRelu`` applied to the
+    explicit concat (``<name>/Conv_0/kernel`` + ``<name>/BatchNorm_0``)."""
+    features: int
+    dtype: Dtype = jnp.float32
+    conv_fn: Any = None
+
+    @nn.compact
+    def __call__(self, branches, train: bool = False):
+        cin = sum(br.shape[-1] for br in branches)
+        y = SlicedConcatConv(self.features, cin, dtype=self.dtype,
+                             conv_fn=self.conv_fn, name="Conv_0")(branches)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         name="BatchNorm_0")(y)
+        return nn.relu(y)
+
+
 class DecoderBlock(nn.Module):
     """Upsample -> concat skip -> 2x ConvBnRelu -> scSE recalibration
     (reference: base.py:65-86)."""
@@ -129,13 +206,26 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None,
                  train: bool = False):
+        import os
         x = upsample2x(x)
-        if skip is not None:
+        if skip is not None and not os.environ.get("SALT_TPU_CONCAT_DECODER"):
+            # conv-over-concat without materializing the concat (exact
+            # same math and params as concatenate + ConvBnRelu)
+            x = SlicedConcatConvBnRelu(
+                self.middle_features, dtype=self.dtype,
+                conv_fn=self.conv_fn, name="ConvBnRelu_0")(
+                    [x, skip.astype(x.dtype)], train)
+        elif skip is not None:
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        x = ConvBnRelu(self.middle_features, dtype=self.dtype,
-                       conv_fn=self.conv_fn)(x, train)
+            x = ConvBnRelu(self.middle_features, dtype=self.dtype,
+                           conv_fn=self.conv_fn,
+                           name="ConvBnRelu_0")(x, train)
+        else:
+            x = ConvBnRelu(self.middle_features, dtype=self.dtype,
+                           conv_fn=self.conv_fn,
+                           name="ConvBnRelu_0")(x, train)
         x = ConvBnRelu(self.features, dtype=self.dtype,
-                       conv_fn=self.conv_fn)(x, train)
+                       conv_fn=self.conv_fn, name="ConvBnRelu_1")(x, train)
         cse = ChannelSELayer(dtype=self.dtype)(x)
         sse = SpatialSELayer(dtype=self.dtype)(x)
         return nn.relu(cse + sse)

@@ -17,71 +17,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from salt_tpu.models.blocks import ConvBnRelu, DecoderBlock, upsample2x
+from salt_tpu.models.blocks import (ConvBnRelu, DecoderBlock,
+                                    SlicedConcatConvBnRelu, upsample2x)
 from salt_tpu.models.encoders import make_encoder
-
-
-class _SlicedConcatConv(nn.Module):
-    """3x3 conv over an implicit channel-concat, computed as a sum of
-    per-branch convs with slices of ONE kernel parameter.
-
-    Mathematically identical to ``nn.Conv(concat(branches))`` — conv is
-    linear in its input channels, so conv(concat(b_i); K) ==
-    sum_i conv(b_i; K[:, :, off_i:off_i+c_i, :]) — and parameter-tree
-    identical (same single ``kernel`` of shape [3, 3, sum(c_i), f], same
-    lecun-normal init), so checkpoints are interchangeable between the
-    two head implementations. The win: XLA never materializes the
-    5x-channel full-resolution concat (the hypercolumn's dominant HBM
-    traffic; VERDICT r1 measured the head at ~7.5 ms of a ~26 ms
-    forward at bs64)."""
-    features: int
-    in_channels: int
-    dtype: Any = jnp.float32
-    conv_fn: Any = None
-
-    @nn.compact
-    def __call__(self, branches):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (3, 3, self.in_channels, self.features), jnp.float32)
-        k = kernel.astype(self.dtype)
-        dn = jax.lax.conv_dimension_numbers(
-            branches[0].shape, k.shape, ("NHWC", "HWIO", "NHWC"))
-        conv = self.conv_fn or jax.lax.conv_general_dilated
-        out = None
-        off = 0
-        for b in branches:
-            c = b.shape[-1]
-            y = conv(
-                b.astype(self.dtype), k[:, :, off:off + c, :],
-                window_strides=(1, 1), padding="SAME",
-                dimension_numbers=dn)
-            out = y if out is None else out + y
-            off += c
-        assert off == self.in_channels
-        return out
-
-
-class _HypercolumnHead(nn.Module):
-    """ConvBnRelu over the hypercolumn, with the conv computed by
-    :class:`_SlicedConcatConv`. Scoped so the parameter paths are
-    byte-identical to ``ConvBnRelu(name="final_conv")`` applied to the
-    explicit concat (``final_conv/Conv_0/kernel`` +
-    ``final_conv/BatchNorm_0``): checkpoints trained with either head
-    implementation load into the other."""
-    features: int
-    dtype: Any = jnp.float32
-    conv_fn: Any = None
-
-    @nn.compact
-    def __call__(self, branches, train: bool = False):
-        cin = sum(br.shape[-1] for br in branches)
-        y = _SlicedConcatConv(self.features, cin, dtype=self.dtype,
-                              conv_fn=self.conv_fn, name="Conv_0")(branches)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         name="BatchNorm_0")(y)
-        return nn.relu(y)
 
 
 class UNetTrunk(nn.Module):
@@ -137,8 +75,9 @@ class UNetTrunk(nn.Module):
                 upsample2x(dec5, 16),
             ]
             if self.hypercolumn_impl == "sum":
-                y = _HypercolumnHead(b // 8, dtype=self.dtype, conv_fn=cf,
-                                     name="final_conv")(branches, train)
+                y = SlicedConcatConvBnRelu(b // 8, dtype=self.dtype,
+                                           conv_fn=cf,
+                                           name="final_conv")(branches, train)
             else:
                 head_in = jnp.concatenate(branches, axis=-1)
                 y = ConvBnRelu(b // 8, dtype=self.dtype, conv_fn=cf,

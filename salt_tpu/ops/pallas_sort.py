@@ -34,35 +34,52 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _sort_kernel(keys_ref, payload_ref, keys_out, payload_out, *, length):
+def _stage_table(length: int) -> np.ndarray:
+    """All (k_exp, j_exp) compare-exchange stages of the bitonic network
+    for the given power-of-two length, as an [S, 2] int32 table."""
+    n = length.bit_length() - 1
+    return np.array([(k_exp, j_exp)
+                     for k_exp in range(1, n + 1)
+                     for j_exp in range(k_exp - 1, -1, -1)], np.int32)
+
+
+def _sort_kernel(stages_ref, keys_ref, payload_ref, keys_out, payload_out,
+                 *, length, n_stages):
+    """One grid step sorts a [R, P] row tile fully in VMEM.
+
+    The stage loop is a fori_loop over the SMEM stage table (an unrolled
+    network blew the Mosaic VMEM stack: 120 stages x live temporaries =
+    34.8 MB at R=8). Rolls use dynamic shifts; the swap predicate is
+    built from int comparisons + logical ops only — Mosaic cannot lower
+    selects between i1 operands (i8->i1 trunci is unsupported)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    keys = keys_ref[...]
-    payload = payload_ref[...]
-    n = length.bit_length() - 1
-    lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, keys_ref.shape, 1)
 
-    for k_exp in range(1, n + 1):
-        k = 1 << k_exp
-        # block of size k sorts descending when (i & k) == 0
-        desc = (lane & k) == 0
-        for j_exp in range(k_exp - 1, -1, -1):
-            j = 1 << j_exp
-            is_low = (lane & j) == 0
-            # pltpu.roll requires non-negative shifts: left-roll by j is
-            # a right-roll by length - j
-            p_right_k = pltpu.roll(keys, length - j, 1)   # keys[i + j]
-            p_left_k = pltpu.roll(keys, j, 1)             # keys[i - j]
-            pk = jnp.where(is_low, p_right_k, p_left_k)
-            p_right_v = pltpu.roll(payload, length - j, 1)
-            p_left_v = pltpu.roll(payload, j, 1)
-            pv = jnp.where(is_low, p_right_v, p_left_v)
-            # descending block: low lane keeps max; flip for ascending
-            take_max = desc == is_low
-            partner_wins = jnp.where(take_max, pk > keys, pk < keys)
-            keys = jnp.where(partner_wins, pk, keys)
-            payload = jnp.where(partner_wins, pv, payload)
+    def body(s, carry):
+        keys, payload = carry
+        k_exp = stages_ref[s, 0]
+        j_exp = stages_ref[s, 1]
+        j = jnp.int32(1) << j_exp
+        is_low = (lane & j) == 0
+        # pltpu.roll needs non-negative shifts: left-roll by j is a
+        # right-roll by length - j
+        pk = jnp.where(is_low, pltpu.roll(keys, length - j, 1),
+                       pltpu.roll(keys, j, 1))
+        # descending block ((i & 2^k_exp) == 0): the low lane keeps the
+        # max; take_max = (bit k_exp of i) == (bit j_exp of i)
+        take_max = (((lane >> k_exp) ^ (lane >> j_exp)) & 1) == 0
+        partner_wins = jnp.logical_or(
+            jnp.logical_and(take_max, pk > keys),
+            jnp.logical_and(jnp.logical_not(take_max), pk < keys))
+        keys = jnp.where(partner_wins, pk, keys)
+        pv = jnp.where(is_low, pltpu.roll(payload, length - j, 1),
+                       pltpu.roll(payload, j, 1))
+        payload = jnp.where(partner_wins, pv, payload)
+        return keys, payload
 
+    keys, payload = jax.lax.fori_loop(
+        0, n_stages, body, (keys_ref[...], payload_ref[...]))
     keys_out[...] = keys
     payload_out[...] = payload
 
@@ -71,28 +88,37 @@ def _sort_kernel(keys_ref, payload_ref, keys_out, payload_out, *, length):
 def sort_desc_pallas(keys: jax.Array, payload: jax.Array,
                      rows_per_tile: int = 8, interpret: bool = False):
     """Descending sort of ``keys`` [B, P] along the last axis (P a power
-    of two, multiple of 128), carrying int32 ``payload``."""
+    of two, multiple of 128), carrying int32 ``payload``. Mosaic
+    requires the sublane block dimension divisible by 8, so batches are
+    processed in 8-row tiles (short batches pad up)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, p = keys.shape
+    b0, p = keys.shape
     assert p & (p - 1) == 0 and p % 128 == 0, p
-    r = min(rows_per_tile, b)
-    while b % r:
-        r -= 1
-    kernel = functools.partial(_sort_kernel, length=p)
-    grid = (b // r,)
+    r = rows_per_tile
+    pad = (-b0) % r
+    if pad:
+        keys = jnp.concatenate(
+            [keys, jnp.zeros((pad, p), keys.dtype)], axis=0)
+        payload = jnp.concatenate(
+            [payload, jnp.zeros((pad, p), payload.dtype)], axis=0)
+    b = b0 + pad
+    stages = jnp.asarray(_stage_table(p))
+    kernel = functools.partial(_sort_kernel, length=p,
+                               n_stages=stages.shape[0])
     spec = pl.BlockSpec((r, p), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    ks, ps = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[spec, spec],
+        grid=(b // r,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
         out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((b, p), keys.dtype),
                    jax.ShapeDtypeStruct((b, p), jnp.int32)),
         interpret=interpret,
-    )(keys, payload.astype(jnp.int32))
+    )(stages, keys, payload.astype(jnp.int32))
+    return ks[:b0], ps[:b0]
 
 
 @jax.custom_vjp

@@ -20,6 +20,15 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture
+def cpu_config(tmp_path):
+    from salt_tpu.core.config import default_config
+    cfg = default_config()
+    cfg.paths.experiment_dir = str(tmp_path / "experiment")
+    cfg.training.dtype = "float32"
+    return cfg
+
+
 @pytest.fixture(scope="session")
 def synthetic_data():
     from salt_tpu.data.synthetic import synthetic_arrays

@@ -1,0 +1,107 @@
+"""Serving entry: checkpoint resolution, flat-npz round-trip, and the
+end-to-end synthetic serve path (CPU backend)."""
+import os
+
+import numpy as np
+import pytest
+
+from salt_tpu.pipeline.serving import (_load_flat_npz, resolve_checkpoints,
+                                       serve)
+
+
+def test_resolve_single_file(tmp_path):
+    p = tmp_path / "best.npz"
+    np.savez(p, x=np.zeros(1))
+    assert resolve_checkpoints(str(p)) == [str(p)]
+
+
+def test_resolve_experiment_dir(tmp_path):
+    d = tmp_path / "exp" / "checkpoints" / "network"
+    d.mkdir(parents=True)
+    np.savez(d / "best.npz", x=np.zeros(1))
+    assert resolve_checkpoints(str(tmp_path / "exp")) == [str(d / "best.npz")]
+
+
+def test_resolve_cv_folds(tmp_path):
+    for i in range(3):
+        d = tmp_path / "exp" / "checkpoints" / f"network_fold_{i}"
+        d.mkdir(parents=True)
+        np.savez(d / "best.npz", x=np.zeros(1))
+    got = resolve_checkpoints(str(tmp_path / "exp"))
+    assert len(got) == 3
+    assert all("network_fold_" in g for g in got)
+
+
+def test_resolve_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoints(str(tmp_path / "nothing"))
+
+
+def test_flat_npz_roundtrip(tmp_path):
+    from salt_tpu.core.experiment import Experiment
+    rng = np.random.RandomState(0)
+    tree = {"params": {"a": rng.rand(3, 4).astype(np.float32),
+                       "b": {"c": rng.rand(2).astype(np.float32)}}}
+    exp = Experiment(str(tmp_path / "exp"))
+    path = exp.save_params("network", tree)
+    like = {"params": {"a": np.zeros((3, 4), np.float32),
+                       "b": {"c": np.zeros(2, np.float32)}}}
+    got = _load_flat_npz(path, like)
+    np.testing.assert_array_equal(got["params"]["a"], tree["params"]["a"])
+    np.testing.assert_array_equal(got["params"]["b"]["c"],
+                                  tree["params"]["b"]["c"])
+
+
+def test_serve_synthetic_end_to_end(tmp_path, cpu_config):
+    cfg = cpu_config
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 3
+    cfg.training.dtype = "float32"
+    cfg.training.batch_size_inference = 8
+    out_csv = str(tmp_path / "sub.csv")
+    probs_out = str(tmp_path / "probs.npz")
+    result = serve(cfg, checkpoint="", images_dir="", out_csv=out_csv,
+                   probs_out=probs_out, synthetic=16)
+    assert result["n"] == 16
+    assert os.path.exists(out_csv)
+    import pandas as pd
+    sub = pd.read_csv(out_csv)
+    assert list(sub.columns) == ["id", "rle_mask"]
+    assert len(sub) == 16
+    data = np.load(probs_out, allow_pickle=True)
+    assert data["probs"].shape == (16, 101, 101)
+
+
+def test_serve_restores_checkpoint(tmp_path, cpu_config):
+    """serve() must produce the checkpoint's predictions, not the fresh
+    init's: train 1 epoch, serve from the experiment dir, compare."""
+    from salt_tpu.core.experiment import Experiment
+    from salt_tpu.data.bundle import synthetic_bundle
+    from salt_tpu.pipeline import api
+
+    cfg = cpu_config
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 3
+    cfg.training.dtype = "float32"
+    cfg.training.epochs = 1
+    cfg.training.batch_size_train = 8
+    cfg.training.batch_size_inference = 8
+    cfg.paths.experiment_dir = str(tmp_path / "exp")
+    exp = Experiment(cfg.paths.experiment_dir)
+    bundle = synthetic_bundle(16, seed=1)
+    api.train(cfg, exp, bundle)
+
+    out_csv = str(tmp_path / "sub.csv")
+    probs_out = str(tmp_path / "p.npz")
+    serve(cfg, checkpoint=cfg.paths.experiment_dir, images_dir="",
+          out_csv=out_csv, probs_out=probs_out, synthetic=8)
+    served = np.load(probs_out, allow_pickle=True)["probs"]
+
+    # same prediction through the pipeline api for the same synthetic set
+    test_b = synthetic_bundle(8, seed=cfg.execution.seed, with_masks=False)
+    runner_probs = api._predict_bundle(
+        api.SegmentationRunner(cfg), exp, "network", test_b)
+    np.testing.assert_allclose(served, runner_probs[:, 1].astype(np.float16),
+                               atol=1e-3)
