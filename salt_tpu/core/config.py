@@ -51,6 +51,9 @@ class ExecutionConfig:
     resume: bool = False                  # continue from the 'last' checkpoint
     num_workers: int = 4                  # host prefetch threads
     prefetch_buffers: int = 2             # double-buffered device feed
+    # persist decoded uint8 packs as memmappable .npy ("" = off): later
+    # runs skip the PNG decode entirely (see data/bundle.py)
+    pack_cache_dir: str = ""
 
 
 @dataclass

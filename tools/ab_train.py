@@ -11,11 +11,11 @@ import numpy as np
 
 
 def make_runner(hypercolumn_impl, pallas_sort, batch=128):
-    # sort backend is chosen at trace time via env var
+    # sort backend is chosen at trace time via env var (opt-in)
     if pallas_sort:
-        os.environ.pop("SALT_TPU_NO_PALLAS_SORT", None)
+        os.environ["SALT_TPU_PALLAS_SORT"] = "1"
     else:
-        os.environ["SALT_TPU_NO_PALLAS_SORT"] = "1"
+        os.environ.pop("SALT_TPU_PALLAS_SORT", None)
     from salt_tpu.core.config import default_config
     from salt_tpu.train.steps import SegmentationRunner
     cfg = default_config()
@@ -37,7 +37,6 @@ def main():
     variants = [
         ("concat_jnpsort", "concat", False),
         ("sum_jnpsort", "sum", False),
-        ("sum_pallassort", "sum", True),
     ]
 
     rng = np.random.RandomState(0)
