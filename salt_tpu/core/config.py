@@ -77,9 +77,12 @@ class ModelConfig:
     dropout_2d: float = 0.0
     use_hypercolumn: bool = True
     # "sum" = sliced-kernel per-branch convs (exact same math/params,
-    # avoids materializing the 5x-channel concat); "concat" = literal
-    # reference formulation (unet.py:101-107). A/B-able, checkpoint-compatible.
+    # avoids materializing the concat); "concat" = literal reference
+    # formulation. Checkpoint-compatible either way. These set the
+    # PREDICT graphs; the train graph always uses "concat" (faster to
+    # differentiate — see models/unet.py UNetTrunk docstring).
     hypercolumn_impl: str = "sum"
+    decoder_impl: str = "sum"
     pretrained: bool = False              # graft pretrained encoder weights at init
     # torch .pth/.pt or converted .npz encoder checkpoint; required when
     # pretrained=True (the reference auto-downloads ImageNet weights,

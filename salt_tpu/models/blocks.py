@@ -202,13 +202,17 @@ class DecoderBlock(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     conv_fn: Any = None
+    # sliced-concat first conv: exact same math/params as the literal
+    # concat, measured faster for INFERENCE but slower to differentiate
+    # (v5e A/B, see UNetTrunk docstring) — the runner builds the train
+    # graph with False and the predict graphs with True
+    use_sliced_concat: bool = True
 
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None,
                  train: bool = False):
-        import os
         x = upsample2x(x)
-        if skip is not None and not os.environ.get("SALT_TPU_CONCAT_DECODER"):
+        if skip is not None and self.use_sliced_concat:
             # conv-over-concat without materializing the concat (exact
             # same math and params as concatenate + ConvBnRelu)
             x = SlicedConcatConvBnRelu(

@@ -44,7 +44,8 @@ def _unet_resnet(cfg: ModelConfig, dtype):
                       use_hypercolumn=cfg.use_hypercolumn,
                       dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
                       conv_fn=_conv_fn(cfg),
-                      hypercolumn_impl=cfg.hypercolumn_impl)
+                      hypercolumn_impl=cfg.hypercolumn_impl,
+                      decoder_impl=cfg.decoder_impl)
 
 
 def _unet_seresnet(cfg: ModelConfig, dtype):
@@ -54,7 +55,8 @@ def _unet_seresnet(cfg: ModelConfig, dtype):
                         use_hypercolumn=cfg.use_hypercolumn,
                         dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
                         conv_fn=_conv_fn(cfg),
-                        hypercolumn_impl=cfg.hypercolumn_impl)
+                        hypercolumn_impl=cfg.hypercolumn_impl,
+                      decoder_impl=cfg.decoder_impl)
 
 
 def _unet_seresnext(cfg: ModelConfig, dtype):
@@ -64,7 +66,8 @@ def _unet_seresnext(cfg: ModelConfig, dtype):
                           use_hypercolumn=cfg.use_hypercolumn,
                           dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
                           conv_fn=_conv_fn(cfg),
-                          hypercolumn_impl=cfg.hypercolumn_impl)
+                          hypercolumn_impl=cfg.hypercolumn_impl,
+                      decoder_impl=cfg.decoder_impl)
 
 
 def _unet_densenet(cfg: ModelConfig, dtype):
@@ -74,7 +77,8 @@ def _unet_densenet(cfg: ModelConfig, dtype):
                         use_hypercolumn=cfg.use_hypercolumn,
                         dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
                         conv_fn=_conv_fn(cfg),
-                        hypercolumn_impl=cfg.hypercolumn_impl)
+                        hypercolumn_impl=cfg.hypercolumn_impl,
+                      decoder_impl=cfg.decoder_impl)
 
 
 def _unet_resnet_depth(cfg: ModelConfig, dtype):

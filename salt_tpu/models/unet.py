@@ -31,7 +31,15 @@ class UNetTrunk(nn.Module):
     use_hypercolumn: bool = True
     pool0: bool = False
     bottom_channels: int = 512
-    hypercolumn_impl: str = "sum"     # "sum" (sliced-kernel) | "concat"
+    # "sum" (sliced-kernel, no materialized concat) vs "concat"
+    # (literal reference formulation): mathematically identical,
+    # checkpoint-compatible. v5e A/B (round 2): sum is faster for
+    # inference (TTA 22.5 vs 23.0 ms/batch at bs64 int8; head cost
+    # ~7.5 -> ~0 ms) but SLOWER to differentiate (train step 204 vs
+    # 185 ms @bs128) — SegmentationRunner builds the train graph with
+    # "concat" and the predict graphs with "sum".
+    hypercolumn_impl: str = "sum"
+    decoder_impl: str = "sum"
     dtype: Any = jnp.float32
     conv_fn: Any = None
 
@@ -49,6 +57,7 @@ class UNetTrunk(nn.Module):
 
         # center: 2x ConvBnRelu then avg-pool stride 2 (unet.py:60-63)
         cf = self.conv_fn
+        sliced = self.decoder_impl == "sum"
         center = ConvBnRelu(b, dtype=self.dtype, conv_fn=cf,
                             name="center_conv1")(enc5, train)
         center = ConvBnRelu(b // 2, dtype=self.dtype, conv_fn=cf,
@@ -56,14 +65,19 @@ class UNetTrunk(nn.Module):
         center = nn.avg_pool(center, (2, 2), strides=(2, 2))
 
         dec5 = DecoderBlock(b, b // 8, dtype=self.dtype, conv_fn=cf,
+                            use_sliced_concat=sliced,
                             name="dec5")(center, enc5, train)
         dec4 = DecoderBlock(b // 2, b // 8, dtype=self.dtype, conv_fn=cf,
+                            use_sliced_concat=sliced,
                             name="dec4")(dec5, enc4, train)
         dec3 = DecoderBlock(b // 4, b // 8, dtype=self.dtype, conv_fn=cf,
+                            use_sliced_concat=sliced,
                             name="dec3")(dec4, enc3, train)
         dec2 = DecoderBlock(b // 8, b // 8, dtype=self.dtype, conv_fn=cf,
+                            use_sliced_concat=sliced,
                             name="dec2")(dec3, enc2, train)
         dec1 = DecoderBlock(b // 16, b // 8, dtype=self.dtype, conv_fn=cf,
+                            use_sliced_concat=sliced,
                             name="dec1")(dec2, None, train)
 
         if self.use_hypercolumn:
@@ -94,41 +108,48 @@ class UNetTrunk(nn.Module):
 
 def UNetResNet(encoder_depth=34, num_classes=2, dropout_2d=0.0,
                use_hypercolumn=True, pool0=False, dtype=jnp.float32,
-               conv_fn=None, hypercolumn_impl="sum"):
+               conv_fn=None, hypercolumn_impl="sum",
+               decoder_impl="sum"):
     """(reference: unet.py:22-109; registry defaults models.py:15-19)."""
     bottom = 512 if encoder_depth in (18, 34) else 2048
     return UNetTrunk(encoder_kind="resnet", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
                      bottom_channels=bottom, dtype=dtype, conv_fn=conv_fn,
-                     hypercolumn_impl=hypercolumn_impl)
+                     hypercolumn_impl=hypercolumn_impl,
+                     decoder_impl=decoder_impl)
 
 
 def UNetSeResNet(encoder_depth=50, num_classes=2, dropout_2d=0.0,
                  use_hypercolumn=True, pool0=False, dtype=jnp.float32,
-                 conv_fn=None, hypercolumn_impl="sum"):
+                 conv_fn=None, hypercolumn_impl="sum",
+                 decoder_impl="sum"):
     """(reference: unet.py:112-172)."""
     return UNetTrunk(encoder_kind="se_resnet", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
                      bottom_channels=2048, dtype=dtype, conv_fn=conv_fn,
-                     hypercolumn_impl=hypercolumn_impl)
+                     hypercolumn_impl=hypercolumn_impl,
+                     decoder_impl=decoder_impl)
 
 
 def UNetSeResNetXt(encoder_depth=50, num_classes=2, dropout_2d=0.0,
                    use_hypercolumn=True, pool0=False, dtype=jnp.float32,
-                   conv_fn=None, hypercolumn_impl="sum"):
+                   conv_fn=None, hypercolumn_impl="sum",
+                 decoder_impl="sum"):
     """(reference: unet.py:175-235; SE-ResNeXt50_32x4d encoder)."""
     return UNetTrunk(encoder_kind="se_resnext", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
                      bottom_channels=2048, dtype=dtype, conv_fn=conv_fn,
-                     hypercolumn_impl=hypercolumn_impl)
+                     hypercolumn_impl=hypercolumn_impl,
+                     decoder_impl=decoder_impl)
 
 
 def UNetDenseNet(encoder_depth=121, num_classes=2, dropout_2d=0.0,
                  use_hypercolumn=True, pool0=False, dtype=jnp.float32,
-                 conv_fn=None, hypercolumn_impl="sum"):
+                 conv_fn=None, hypercolumn_impl="sum",
+                 decoder_impl="sum"):
     """(reference: unet.py:238-307). bottom_channels follows the last
     dense block (1024 for densenet121)."""
     from salt_tpu.models.encoders import encoder_channels
@@ -137,4 +158,5 @@ def UNetDenseNet(encoder_depth=121, num_classes=2, dropout_2d=0.0,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
                      bottom_channels=bottom, dtype=dtype, conv_fn=conv_fn,
-                     hypercolumn_impl=hypercolumn_impl)
+                     hypercolumn_impl=hypercolumn_impl,
+                     decoder_impl=decoder_impl)

@@ -8,19 +8,17 @@ import time
 import numpy as np
 
 
-def build(name, concat_decoder, resize_up, bs=64):
-    os.environ.pop("SALT_TPU_CONCAT_DECODER", None)
-    os.environ.pop("SALT_TPU_RESIZE_UPSAMPLE", None)
-    if concat_decoder:
-        os.environ["SALT_TPU_CONCAT_DECODER"] = "1"
-    if resize_up:
-        os.environ["SALT_TPU_RESIZE_UPSAMPLE"] = "1"
+def build(name, concat_decoder, interleave_up, bs=64):
+    os.environ.pop("SALT_TPU_INTERLEAVE_UPSAMPLE", None)
+    if interleave_up:
+        os.environ["SALT_TPU_INTERLEAVE_UPSAMPLE"] = "1"
     from salt_tpu.core.config import default_config
     from salt_tpu.train.steps import SegmentationRunner
     cfg = default_config()
     cfg.model.architecture = "UNetResNet"
     cfg.training.dtype = "bfloat16"
     cfg.model.quant_bits = 8
+    cfg.model.decoder_impl = "concat" if concat_decoder else "sum"
     cfg.training.batch_size_inference = bs
     return SegmentationRunner(cfg)
 
@@ -33,10 +31,10 @@ def main():
     depths = np.zeros((bs, 1), np.float32)
 
     combos = [
-        ("sliced+interleave", False, False),
-        ("sliced+resize", False, True),
-        ("concat+interleave", True, False),
-        ("concat+resize", True, True),       # r1 decoder formulation
+        ("sliced+resize", False, False),
+        ("sliced+interleave", False, True),
+        ("concat+resize", True, False),      # r1 decoder formulation
+        ("concat+interleave", True, True),
     ]
     runners, handles, state = {}, {}, None
     for name, cd, ru in combos:
