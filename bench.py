@@ -76,6 +76,10 @@ def main():
     cfg = default_config()
     cfg.model.architecture = "UNetResNet"
     cfg.training.dtype = "bfloat16"
+    # production inference config: sum-form predict graphs + AQT int8
+    # convs. Quality gate (tools/quality_int8.py, trained ckpt):
+    # IOUT bf16 == int8 (delta 0.0), IOU delta 5e-5.
+    cfg.model.quant_bits = 8
     cfg.training.batch_size_inference = 64
     cfg.training.batch_size_train = 128
 

@@ -59,6 +59,8 @@ def upsample2x(x: jax.Array, factor: int = 2) -> jax.Array:
     resize lowering). SALT_TPU_INTERLEAVE_UPSAMPLE=1 re-enables the
     stencil for future A/Bs."""
     import os
+    if os.environ.get("SALT_TPU_ABLATE_NEAREST_UP"):  # perf-ablation stub
+        return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
     if factor == 2 and os.environ.get("SALT_TPU_INTERLEAVE_UPSAMPLE"):
         return _up2_interleave(x)
     b, h, w, c = x.shape
@@ -116,6 +118,9 @@ class ChannelSELayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+        if os.environ.get("SALT_TPU_ABLATE_NO_SE"):   # perf-ablation stub
+            return x
         c = x.shape[-1]
         y = jnp.mean(x, axis=(1, 2))                      # global avg pool
         y = nn.Dense(max(c // self.reduction, 1), dtype=self.dtype)(y)
@@ -136,6 +141,9 @@ class SpatialSELayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+        if os.environ.get("SALT_TPU_ABLATE_NO_SE"):   # perf-ablation stub
+            return x
         y = nn.Dense(1, dtype=self.dtype)(x)
         y = nn.sigmoid(y)
         return x * y

@@ -149,8 +149,13 @@ class SegmentationRunner:
         if self._use_pallas_preprocess and images_u8.dtype == jnp.uint8:
             from salt_tpu.ops.pallas_preprocess import \
                 preprocess_inference_pallas
+            # emit the network's compute dtype directly (bf16 halves the
+            # kernel-output HBM traffic; the model casts anyway)
+            out_dtype = (jnp.bfloat16
+                         if self.config.training.dtype == "bfloat16"
+                         else jnp.float32)
             return preprocess_inference_pallas(images_u8,
-                                               out_dtype=jnp.float32)
+                                               out_dtype=out_dtype)
         x = images_u8.astype(jnp.float32) / 255.0
         if self._pp["loader_mode"] == "resize_and_pad":
             x = pad_to_divisor(x, 64, self._pp["pad_method"])
