@@ -163,7 +163,7 @@ class SlicedConcatConv(nn.Module):
     conv_fn: Any = None
 
     @nn.compact
-    def __call__(self, branches):
+    def __call__(self, branches, upsample_factors=None):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, self.in_channels, self.features), jnp.float32)
@@ -173,11 +173,15 @@ class SlicedConcatConv(nn.Module):
         conv = self.conv_fn or jax.lax.conv_general_dilated
         out = None
         off = 0
-        for b in branches:
+        for i, b in enumerate(branches):
             c = b.shape[-1]
             y = conv(b.astype(self.dtype), k[:, :, off:off + c, :],
                      window_strides=(1, 1), padding="SAME",
                      dimension_numbers=dn)
+            if upsample_factors is not None and upsample_factors[i] > 1:
+                # perf-probe path only (approximate): upsample the conv
+                # RESULT instead of the input
+                y = upsample2x(y, upsample_factors[i])
             out = y if out is None else out + y
             off += c
         assert off == self.in_channels
@@ -193,10 +197,12 @@ class SlicedConcatConvBnRelu(nn.Module):
     conv_fn: Any = None
 
     @nn.compact
-    def __call__(self, branches, train: bool = False):
+    def __call__(self, branches, train: bool = False,
+                 upsample_factors=None):
         cin = sum(br.shape[-1] for br in branches)
         y = SlicedConcatConv(self.features, cin, dtype=self.dtype,
-                             conv_fn=self.conv_fn, name="Conv_0")(branches)
+                             conv_fn=self.conv_fn, name="Conv_0")(
+                                 branches, upsample_factors)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          name="BatchNorm_0")(y)

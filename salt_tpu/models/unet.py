@@ -81,14 +81,29 @@ class UNetTrunk(nn.Module):
                             name="dec1")(dec2, None, train)
 
         if self.use_hypercolumn:
-            branches = [
-                dec1,
-                upsample2x(dec2, 2),
-                upsample2x(dec3, 4),
-                upsample2x(dec4, 8),
-                upsample2x(dec5, 16),
-            ]
-            if self.hypercolumn_impl == "sum":
+            import os
+            if (self.hypercolumn_impl == "sum"
+                    and os.environ.get("SALT_TPU_ABLATE_LOWRES_HEAD")):
+                # perf-probe ONLY (approximate math): per-branch convs at
+                # native resolution, results upsampled and summed —
+                # bounds the win of an exact fused head kernel
+                y = SlicedConcatConvBnRelu(
+                    b // 8, dtype=self.dtype, conv_fn=cf,
+                    name="final_conv")(
+                        [dec1, dec2, dec3, dec4, dec5], train,
+                        upsample_factors=[1, 2, 4, 8, 16])
+                branches = None
+            else:
+                branches = [
+                    dec1,
+                    upsample2x(dec2, 2),
+                    upsample2x(dec3, 4),
+                    upsample2x(dec4, 8),
+                    upsample2x(dec5, 16),
+                ]
+            if branches is None:
+                pass
+            elif self.hypercolumn_impl == "sum":
                 y = SlicedConcatConvBnRelu(b // 8, dtype=self.dtype,
                                            conv_fn=cf,
                                            name="final_conv")(branches, train)
