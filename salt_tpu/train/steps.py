@@ -126,8 +126,13 @@ class SegmentationRunner:
         """Stochastic-augment + deterministic preprocess, on device.
         Mirrors resize_and_pad training (reference: main.py:130-139):
         affine/intensity aug -> resize 102 -> pad 13 -> normalize+depth."""
+        import os
         x = images_u8.astype(jnp.float32) / 255.0
         m = (masks_u8 > 0).astype(jnp.float32)
+        if os.environ.get("SALT_TPU_ABLATE_NO_AUG"):   # perf-ablation stub
+            x = resize_hw(x, self._net_hw)
+            m = (resize_hw(m, self._net_hw) > 0.5).astype(jnp.float32)
+            return add_depth_channels(normalize_gray(x)), one_hot_target(m)
         if self.config.execution.loader_mode != "resize":
             x, m = augment_batch(rng, x, m)
             x = resize_hw(x, (self._pp["resize_size"],) * 2)
