@@ -284,9 +284,25 @@ class SegmentationRunner:
                 return crop_to_target(agg, self._img_hw)
             return resize_hw(agg, self._img_hw)
 
+        def scan_predict(params, batch_stats, imgs_b, d_b):
+            def body(_, xs):
+                db, dd = xs
+                return None, predict_step(params, batch_stats, db, dd)
+            _, probs = jax.lax.scan(body, None, (imgs_b, d_b))
+            return probs
+
+        def scan_predict_tta(params, batch_stats, imgs_b, d_b):
+            def body(_, xs):
+                db, dd = xs
+                return None, predict_tta_step(params, batch_stats, db, dd)
+            _, probs = jax.lax.scan(body, None, (imgs_b, d_b))
+            return probs
+
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.predict_step = jax.jit(predict_step)
         self.predict_tta_step = jax.jit(predict_tta_step)
+        self.scan_predict = jax.jit(scan_predict)
+        self.scan_predict_tta = jax.jit(scan_predict_tta)
         self.val_loss_step = jax.jit(val_loss_step)
         self.metrics_step = jax.jit(metrics_step)
 
@@ -296,29 +312,46 @@ class SegmentationRunner:
 
     def predict_dataset(self, state: TrainState, images: np.ndarray,
                         depths: Optional[np.ndarray] = None,
-                        batch_size: int = 0, tta: bool = False) -> np.ndarray:
-        """Batched inference over a packed dataset -> [N, 2, 101, 101].
-        ``tta=True`` routes through the fused TTA graph (the reference's
-        network_tta pipeline, main.py:396-442)."""
-        step_fn = self.predict_tta_step if tta else self.predict_step
+                        batch_size: int = 0, tta: bool = False,
+                        chunk: int = 2048) -> np.ndarray:
+        """Batched inference over a packed dataset -> [N, 2, 101, 101]
+        float32 (unchanged contract). ``tta=True`` routes through the
+        fused TTA graph (the reference's network_tta pipeline,
+        main.py:396-442).
+
+        Dispatch structure: one ``lax.scan`` program per ~``chunk``
+        images instead of a host-driven per-batch loop — each eager
+        device_put/step/gather round-trip costs more than a batch of
+        compute on a remote-attached device, and the scan also removes
+        per-batch H2D stalls locally. Outputs stay float32 end to end;
+        values are identical to the per-batch loop."""
+        run_chunk = self.scan_predict_tta if tta else self.scan_predict
         bs = batch_size or self.config.training.batch_size_inference
         bs = max(bs // self.mesh.devices.size, 1) * self.mesh.devices.size
         n = images.shape[0]
+        if n == 0:
+            return np.zeros((0, 2, *self._img_hw), np.float32)
+        chunk = max(bs, (chunk // bs) * bs)
+
         outs = []
-        for lo in range(0, n, bs):
-            count = min(bs, n - lo)
-            batch = images[lo:lo + bs]
-            pad = bs - count
+        for lo in range(0, n, chunk):
+            count = min(chunk, n - lo)
+            pad = (-count) % bs
+            batch = images[lo:lo + count]
             if pad:
-                batch = np.concatenate([batch, np.zeros((pad, *batch.shape[1:]),
-                                                        batch.dtype)])
+                batch = np.concatenate(
+                    [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
             if depths is not None:
-                d = depths[lo:lo + bs].reshape(-1, 1).astype(np.float32)
+                d = depths[lo:lo + count].reshape(-1, 1).astype(np.float32)
                 if pad:
                     d = np.concatenate([d, np.zeros((pad, 1), np.float32)])
             else:
-                d = np.zeros((bs, 1), np.float32)
-            db, dd = self.device_batch(batch, d)
-            probs = step_fn(state.params, state.batch_stats, db, dd)
-            outs.append(np.asarray(probs)[:count])
+                d = np.zeros((count + pad, 1), np.float32)
+            db, dd = self.device_batch(np.ascontiguousarray(batch), d)
+            nb = (count + pad) // bs
+            probs = run_chunk(state.params, state.batch_stats,
+                              db.reshape(nb, bs, *images.shape[1:]),
+                              dd.reshape(nb, bs, 1))
+            outs.append(np.asarray(probs).reshape(count + pad, 2,
+                                                  *self._img_hw)[:count])
         return np.concatenate(outs, axis=0)

@@ -106,3 +106,40 @@ def test_registry_covers_reference_architectures():
                        "UNetResNetWithDepth", "StackingFCN",
                        "StackingFCNWithDepth", "EmptinessClassifier"}
     assert reference_names.issubset(set(ARCHITECTURES))
+
+
+def test_predict_dataset_scan_matches_per_batch():
+    """The scan-based predict_dataset must equal direct predict_step
+    calls batch by batch (including the ragged tail)."""
+    import numpy as np
+    import jax
+    from salt_tpu.core.config import default_config
+    from salt_tpu.train.steps import SegmentationRunner
+
+    cfg = default_config()
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 3
+    cfg.training.dtype = "float32"
+    cfg.training.batch_size_inference = 8
+    r = SegmentationRunner(cfg)
+    state = r.init_state(0)
+    rng = np.random.RandomState(0)
+    images = (rng.rand(19, 101, 101) * 255).astype(np.uint8)  # ragged: 19 = 2*8+3
+
+    got = r.predict_dataset(state, images)
+    assert got.shape == (19, 2, 101, 101)
+
+    ref = []
+    for lo in range(0, 19, 8):
+        batch = images[lo:lo + 8]
+        pad = 8 - batch.shape[0]
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros((pad, 101, 101), np.uint8)])
+        d = np.zeros((8, 1), np.float32)
+        db, dd = r.device_batch(batch, d)
+        p = r.predict_step(state.params, state.batch_stats, db, dd)
+        ref.append(np.asarray(p)[:min(8, 19 - lo)])
+    ref = np.concatenate(ref)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
