@@ -110,30 +110,39 @@ class ClassifierRunner:
                 train=False)
             return jax.nn.sigmoid(logits.astype(jnp.float32))   # [B, 2]
 
+        def scan_predict(params, batch_stats, imgs_b):
+            def body(_, db):
+                return None, predict_step(params, batch_stats, db)
+            _, probs = jax.lax.scan(body, None, imgs_b)
+            return probs                        # [nb, bs, 2]
+
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.predict_step = jax.jit(predict_step)
+        self.scan_predict = jax.jit(scan_predict)
 
     def device_batch(self, *arrays):
         return shard_batch(tuple(arrays), self.mesh)
 
     def predict_dataset(self, state: TrainState, images: np.ndarray,
                         batch_size: int = 0) -> np.ndarray:
-        """[N, 2] sigmoid probabilities; column 1 = P(non-empty)."""
+        """[N, 2] sigmoid probabilities; column 1 = P(non-empty).
+        One lax.scan program for the whole dataset (same dispatch
+        structure as SegmentationRunner.predict_dataset)."""
         bs = batch_size or self.config.training.batch_size_inference
         bs = max(bs // self.mesh.devices.size, 1) * self.mesh.devices.size
-        outs = []
         n = images.shape[0]
-        for lo in range(0, n, bs):
-            count = min(bs, n - lo)
-            batch = images[lo:lo + bs]
-            pad = bs - count
-            if pad:
-                batch = np.concatenate(
-                    [batch, np.zeros((pad, *batch.shape[1:]), batch.dtype)])
-            (db,) = self.device_batch(batch)
-            probs = self.predict_step(state.params, state.batch_stats, db)
-            outs.append(np.asarray(probs)[:count])
-        return np.concatenate(outs, axis=0)
+        if n == 0:
+            return np.zeros((0, 2), np.float32)
+        pad = (-n) % bs
+        batch = images
+        if pad:
+            batch = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+        (db,) = self.device_batch(np.ascontiguousarray(batch))
+        nb = (n + pad) // bs
+        probs = self.scan_predict(state.params, state.batch_stats,
+                                  db.reshape(nb, bs, *images.shape[1:]))
+        return np.asarray(probs).reshape(n + pad, 2)[:n]
 
 
 def fit_classifier(runner: ClassifierRunner,
