@@ -48,7 +48,7 @@ def measure_tta(runner, state, batch, iters=25, windows=3):
     return best
 
 
-def measure_train(runner, state, batch, iters=30):
+def measure_train(runner, state, batch, iters=15, windows=3):
     import jax
     rng = np.random.RandomState(0)
     img = (rng.rand(batch, 101, 101) * 255).astype(np.uint8)
@@ -58,15 +58,15 @@ def measure_train(runner, state, batch, iters=30):
     key = jax.random.PRNGKey(0)
     state, loss = runner.train_step(state, di, dm, dd, key)
     float(loss)                           # compile + sync
-    losses = []
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, loss = runner.train_step(state, di, dm, dd,
-                                        jax.random.fold_in(key, i))
-        losses.append(loss)
-    float(losses[-1])
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    best = 0.0
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, loss = runner.train_step(state, di, dm, dd,
+                                            jax.random.fold_in(key, i))
+        float(loss)
+        best = max(best, batch * iters / (time.perf_counter() - t0))
+    return best
 
 
 def main():
