@@ -45,8 +45,9 @@ class DataBundle:
 
 
 def _pack_cache_key(meta: pd.DataFrame, with_masks: bool) -> str:
-    """Content key over the exact file set (paths + sizes): any
-    add/remove/replace of an image invalidates the cache."""
+    """Content key over the exact file set (paths + sizes + mtimes): any
+    add/remove/replace — including an in-place edit that keeps the byte
+    size — invalidates the cache."""
     import hashlib
     h = hashlib.sha1()
     cols = ["file_path_image"]
@@ -55,10 +56,11 @@ def _pack_cache_key(meta: pd.DataFrame, with_masks: bool) -> str:
     for col in cols:
         for p in meta[col].values:
             try:
-                size = os.path.getsize(p)
+                st = os.stat(p)
+                size, mtime = st.st_size, st.st_mtime_ns
             except (OSError, TypeError):
-                size = -1
-            h.update(f"{p}:{size}\n".encode())
+                size, mtime = -1, -1
+            h.update(f"{p}:{size}:{mtime}\n".encode())
     return h.hexdigest()[:16]
 
 

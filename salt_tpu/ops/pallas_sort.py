@@ -17,7 +17,7 @@ the partner of lane i is i^j, i.e. the value j lanes to the right for
 stable per-pair and payloads follow keys exactly — results are
 bit-identical to ops/bitonic.py (asserted in tests/test_pallas_sort.py).
 
-The payload carries ``labels*2^16 | iota`` packed in int32 so a single
+The payload carries ``labels*2^20 | iota`` packed in int32 so a single
 custom-VJP residual both recovers gt_sorted and gives the permutation
 for the backward scatter (the sort's VJP is the inverse permutation).
 

@@ -209,7 +209,8 @@ class SegmentationRunner:
             reference's per-image mask_prediction contract
             (models.py:138-147 + mask_resize at main.py:377-393)."""
             x = self._infer_inputs(images_u8)
-            logits = self._apply(params, batch_stats, x, depths, train=False)
+            logits = self._apply(params, batch_stats, x, depths, train=False,
+                                 infer=True)
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
             probs = jnp.transpose(probs, (0, 3, 1, 2))       # -> [B,2,H,W]
             if self._pp["loader_mode"] == "resize_and_pad":
