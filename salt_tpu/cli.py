@@ -43,7 +43,7 @@ def main(argv=None):
         "evaluate-cv", "evaluate-predict-cv",
         "empty-train", "empty-evaluate", "empty-cv",
         "empty-evaluate-cv", "empty-evaluate-predict-cv",
-        "stacking-cv", "full-solution", "serve"])
+        "stacking-cv", "full-solution", "serve", "verify-data"])
     parser.add_argument("--workdir", default="output/full_solution",
                         help="full-solution: root dir for the "
                              "segmentation/emptiness/stacking stages")
@@ -87,6 +87,13 @@ def main(argv=None):
     parser.add_argument("--profile", default="", metavar="DIR",
                         help="capture a jax profiler trace of the run "
                              "into DIR (TensorBoard format)")
+    parser.add_argument("--trace-steps", action="store_true",
+                        help="measure per-phase device times of the train "
+                             "step (h2d/aug/fwd_loss/bwd_opt) before "
+                             "training and log them to "
+                             "channels_trace.jsonl — the profiler-free "
+                             "fallback on backends where start_trace "
+                             "cannot run")
     args = parser.parse_args(argv)
 
     # SALT_TPU_PLATFORM=cpu forces the CPU backend (useful for smoke
@@ -130,6 +137,15 @@ def main(argv=None):
                     args.probs_out, synthetic=args.synthetic))
         return 0
 
+    if args.command == "verify-data":
+        # day-one integrity preflight: fail in seconds, not an hour in
+        from salt_tpu.data.verify import verify_data
+        results = verify_data(cfg)
+        ok = all(r["ok"] for r in results.values())
+        for name, r in results.items():
+            print(f"[{'ok' if r['ok'] else 'FAIL'}] {name}: {r['detail']}")
+        return 0 if ok else 1
+
     if args.command == "prepare-metadata":
         from salt_tpu.data.metadata import generate_metadata
         meta = generate_metadata(cfg.paths.train_images_dir,
@@ -162,6 +178,18 @@ def main(argv=None):
                 profiling = True
             except Exception as e:   # profiler support varies by backend
                 print(f"profiler unavailable: {e}")
+
+    if args.trace_steps:
+        from salt_tpu.train.steps import SegmentationRunner
+        from salt_tpu.train.trace import trace_steps
+        runner = SegmentationRunner(cfg)
+        bs = min(cfg.training.batch_size_train, len(train_b))
+        timings = trace_steps(
+            runner, train_b.images[:bs], train_b.masks[:bs],
+            train_b.depths[:bs] if runner.use_depth else None,
+            out_path=experiment.directory + "/channels_trace.jsonl")
+        print("trace-steps (ms/step):",
+              {k: round(v, 2) for k, v in timings.items()})
 
     if args.command == "train":
         api.train(cfg, experiment, train_b)

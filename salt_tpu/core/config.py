@@ -83,6 +83,14 @@ class ModelConfig:
     # differentiate — see models/unet.py UNetTrunk docstring).
     hypercolumn_impl: str = "sum"
     decoder_impl: str = "sum"
+    # reference-parity modes (models/blocks.py docstring): "same" uses
+    # centered SAME padding; "reference" reproduces the reference's
+    # asymmetric top+right replication pad (base.py:26-31).
+    # "half_pixel" is jax.image.resize bilinear; "align_corners"
+    # reproduces torch-0.3.1 nn.Upsample — needed when importing a
+    # reference-trained full-model checkpoint (torch_import.py).
+    conv_pad_mode: str = "same"
+    upsample_mode: str = "half_pixel"
     pretrained: bool = False              # graft pretrained encoder weights at init
     # torch .pth/.pt or converted .npz encoder checkpoint; required when
     # pretrained=True (the reference auto-downloads ImageNet weights,
@@ -133,6 +141,11 @@ class TrainingConfig:
     dtype: str = "bfloat16"               # compute dtype on TPU (MXU-friendly)
     validate_every_n_epochs: int = 1
     log_every_n_steps: int = 50
+    # input|prediction|target triptych PNGs every N epochs (0 = off) —
+    # the reference's NeptuneMonitor image channel (callbacks.py:327-446,
+    # image_every/image_nr wired at models.py:300-312)
+    validation_images_every: int = 0
+    validation_image_nr: int = 8
 
 
 @dataclass
@@ -156,6 +169,11 @@ class ParallelConfig:
     data_axis: str = "data"
     n_devices: int = 0                    # 0 = all visible devices
     fold_parallel: bool = False           # train CV folds on disjoint device groups
+    # reproduce the sequential CV loop's randomness exactly in
+    # fold-parallel mode (same init seed / aug keys / shuffle order per
+    # fold — the configuration covered by the sequential-equivalence
+    # test); False keeps per-fold seeds distinct for ensemble diversity
+    fold_parallel_aligned: bool = False
 
 
 @dataclass

@@ -79,9 +79,21 @@ def _lr_schedule_callbacks(t) -> List:
                      "(want plateau | exponential | lr_finder | none)")
 
 
-def _make_callbacks(config: Config, experiment: Experiment, name: str
-                    ) -> CallbackList:
+def _make_callbacks(config: Config, experiment: Experiment, name: str,
+                    runner: Optional[SegmentationRunner] = None,
+                    valid_b: Optional[DataBundle] = None) -> CallbackList:
     t = config.training
+    image_monitor = []
+    if t.validation_images_every and runner is not None and valid_b is not None:
+        # input|prediction|target triptychs (reference: NeptuneMonitor
+        # image channel, callbacks.py:327-446, wired at models.py:300-312)
+        from salt_tpu.train.callbacks import ValidationImageMonitor
+        image_monitor = [ValidationImageMonitor(
+            experiment.directory + f"/validation_images_{name}",
+            runner, valid_b.images, valid_b.masks,
+            valid_b.depths if runner.use_depth else None,
+            image_nr=t.validation_image_nr,
+            image_every=t.validation_images_every)]
     return CallbackList([
         ExperimentTiming(),
         TrainingMonitor(epoch_every=1),
@@ -91,6 +103,7 @@ def _make_callbacks(config: Config, experiment: Experiment, name: str
         *_lr_schedule_callbacks(t),
         EarlyStopping(t.validation_metric_name, t.patience,
                       t.minimize_validation_metric),
+        *image_monitor,
         ChannelLogger(experiment.directory + f"/channels_{name}.jsonl"),
     ])
 
@@ -167,7 +180,7 @@ def _fit_fold(config: Config, experiment: Experiment, name: str,
         # (reference: utils.py:455-461)
         logger.info("fine-tuning %s from persisted checkpoint", name)
         state = _load_best(runner, experiment, name)
-    callbacks = _make_callbacks(config, experiment, name)
+    callbacks = _make_callbacks(config, experiment, name, runner, valid_b)
     use_depth = runner.use_depth
     fit(runner, _bundle_tuple(train_b, use_depth),
         _bundle_tuple(valid_b, use_depth), callbacks=callbacks, state=state,
@@ -191,6 +204,12 @@ def train(config: Config, experiment: Experiment, bundle: DataBundle,
           aux: Optional[DataBundle] = None) -> SegmentationRunner:
     """Single-fold training on the first depth-stratified fold
     (reference: main.py:454-488)."""
+    if config.execution.use_auxiliary_data and aux is None:
+        # the reference adds auxiliary small-mask crops on the
+        # single-fold path too (reference: main.py:464-467)
+        from salt_tpu.data.auxiliary import generate_auxiliary_bundle
+        aux = generate_auxiliary_bundle(bundle)
+        logger.info("generated %d auxiliary small-mask crops", len(aux))
     train_idx, valid_idx = _first_fold(config, bundle)
     train_b, valid_b = bundle.take(train_idx), bundle.take(valid_idx)
     train_b = _with_auxiliary(config, train_b, valid_b, aux)
@@ -248,12 +267,21 @@ def predict(config: Config, experiment: Experiment, test_bundle: DataBundle,
 def _cv_loop(config: Config, experiment: Experiment, bundle: DataBundle,
              test_bundle: Optional[DataBundle], do_train: bool,
              aux: Optional[DataBundle] = None):
+    if config.execution.dev_mode:
+        # DEV_MODE samples the metadata for the CV entry points too
+        # (reference: main.py:578-581)
+        bundle = bundle.dev_sample(config.execution.dev_mode_size,
+                                   config.execution.seed)
+        if test_bundle is not None:
+            test_bundle = test_bundle.dev_sample(
+                config.execution.dev_mode_size, config.execution.seed)
     cv = KFoldBySortedValue(n_splits=config.execution.n_cv_splits)
     fold_iou, fold_iout = [], []
     oof_ids: List[str] = []
     oof_images: List[np.ndarray] = []
     test_preds: List[np.ndarray] = []
     runner = SegmentationRunner(config)
+    runner_fp = None                      # lazy float runner for the int8 gate
     if config.execution.use_auxiliary_data and aux is None and do_train:
         from salt_tpu.data.auxiliary import generate_auxiliary_bundle
         aux = generate_auxiliary_bundle(bundle)
@@ -275,9 +303,11 @@ def _cv_loop(config: Config, experiment: Experiment, bundle: DataBundle,
             fold_valid.append((v.images, v.masks,
                                v.depths if use_depth else None))
             names.append(add_fold_suffix(NETWORK, fold_id))
-        fit_fold_parallel(config, fold_train, valid_data=fold_valid,
-                          experiment=experiment, checkpoint_names=names,
-                          seed=config.execution.seed)
+        fit_fold_parallel(
+            config, fold_train, valid_data=fold_valid,
+            experiment=experiment, checkpoint_names=names,
+            seed=config.execution.seed,
+            align_with_sequential=config.parallel.fold_parallel_aligned)
         do_train = False   # evaluation below loads the saved checkpoints
 
     for fold_id, (train_idx, valid_idx) in enumerate(
@@ -293,6 +323,17 @@ def _cv_loop(config: Config, experiment: Experiment, bundle: DataBundle,
         y_pred = _binarize(probs_valid, config.postpro.threshold_masks)
         iou, iout = calculate_scores(list(valid_b.masks), y_pred)
         logger.info("Fold %d IOU %s IOUT %s", fold_id, iou, iout)
+        if config.model.quant_bits:
+            # int8 inference is not exact math: re-measure the quality
+            # delta per fold on THIS checkpoint and persist it as an
+            # artifact (pipeline/quality.py)
+            from salt_tpu.pipeline.quality import run_fold_int8_gate
+            if runner_fp is None:
+                import dataclasses as _dc
+                runner_fp = SegmentationRunner(config.replace(
+                    model=_dc.replace(config.model, quant_bits=0)))
+            run_fold_int8_gate(config, experiment, name, valid_b,
+                               runner_fp=runner_fp, runner_q=runner)
         fold_iou.append(iou)
         fold_iout.append(iout)
         oof_ids.extend(valid_b.meta["id"].tolist())

@@ -6,15 +6,22 @@ Production counterpart of the reference's predict() driver
 training config: point it at any ``best.npz`` (or an experiment /
 CV-experiment directory, whose fold checkpoints are ensembled with the
 same mean-before-binarize semantics as the CV loop, main.py:892-913).
-Decoding uses the native PNG pack loader; inference runs the fused TTA
-graph, optionally with int8 (AQT) convolutions.
+Decoding uses the native PNG pack loader and STREAMS in chunks, so the
+dataset never has to fit in RAM; inference runs the fused TTA graph,
+optionally with int8 (AQT) convolutions.
+
+Numerics: fold probabilities accumulate and threshold in float32 —
+masks are bit-identical to the evaluate/predict_dataset path
+(tests/test_serving.py::test_serve_masks_match_predict_dataset). The
+optional probability archive is stored float16 (an archive format, not
+an intermediate).
 """
 from __future__ import annotations
 
 import glob
 import os
 import time
-from typing import List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -43,20 +50,35 @@ def resolve_checkpoints(path: str) -> List[str]:
         "checkpoints/network/best.npz, or checkpoints/network_fold_*/")
 
 
-def load_images(images_dir: str) -> "tuple[list, np.ndarray]":
-    """All PNGs of a directory -> (ids, packed [N,101,101] uint8)."""
+def list_images(images_dir: str) -> Tuple[List[str], List[str]]:
+    """Sorted (ids, paths) of the directory's PNGs — listing only; the
+    pixel data streams chunk-by-chunk through :func:`decode_images`."""
     paths = sorted(glob.glob(os.path.join(images_dir, "*.png")))
     if not paths:
         raise FileNotFoundError(f"no .png files in {images_dir!r}")
     ids = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    return ids, paths
+
+
+def decode_images(paths: Sequence[str], h: int = 101, w: int = 101
+                  ) -> np.ndarray:
+    """Decode a batch of PNGs -> packed [N, h, w] uint8 (native loader,
+    PIL fallback)."""
     from salt_tpu.data.native_png import pack_pngs
-    images = pack_pngs(paths, 101, 101)
+    images = pack_pngs(list(paths), h, w)
     if images is None:
         from PIL import Image
         from salt_tpu.data.images import to_grayscale
         images = np.stack([to_grayscale(np.array(Image.open(p)))
                            for p in paths]).astype(np.uint8)
-    return ids, images
+    return images
+
+
+def load_images(images_dir: str) -> Tuple[List[str], np.ndarray]:
+    """All PNGs of a directory -> (ids, packed [N,101,101] uint8).
+    Whole-directory convenience wrapper (serve() streams instead)."""
+    ids, paths = list_images(images_dir)
+    return ids, decode_images(paths)
 
 
 def _load_flat_npz(path: str, like):
@@ -77,24 +99,30 @@ def _load_flat_npz(path: str, like):
 
 def serve(config: Config, checkpoint: str, images_dir: str,
           out_csv: str = "submission.csv", probs_out: str = "",
-          synthetic: int = 0) -> dict:
+          synthetic: int = 0, chunk_size: int = 8192) -> dict:
     """Run the full inference stack and write the submission. Returns
-    {"n": N, "images_per_sec": float, "submission": path}."""
+    {"n": N, "images_per_sec": float, "submission": path}.
+
+    Images stream in ``chunk_size`` blocks: decode -> one H2D of the
+    uint8 pack -> one compiled scan per model -> device-side f32
+    fold-mean + threshold + bit-packed masks -> tiny D2H. Host RAM and
+    device HBM usage are bounded by the chunk, not the dataset."""
     from salt_tpu.ops.rle import create_submission
-    from salt_tpu.pipeline.api import _binarize
     from salt_tpu.train.steps import SegmentationRunner
 
     if synthetic:
         from salt_tpu.data.bundle import synthetic_bundle
         b = synthetic_bundle(synthetic, seed=config.execution.seed,
                              with_masks=False)
-        ids, images = b.meta["id"].tolist(), b.images
+        ids, paths = b.meta["id"].tolist(), None
+        mem_images = b.images
         ckpts: List[str] = []
         if checkpoint:
             ckpts = resolve_checkpoints(checkpoint)
     else:
-        ckpts = resolve_checkpoints(checkpoint)
-        ids, images = load_images(images_dir)
+        ckpts = resolve_checkpoints(checkpoint) if checkpoint else []
+        ids, paths = list_images(images_dir)
+        mem_images = None
     logger.info("serving %d images, %d checkpoint(s), int8=%s, tta=%s",
                 len(ids), len(ckpts), bool(config.model.quant_bits),
                 config.postpro.use_tta)
@@ -116,63 +144,91 @@ def serve(config: Config, checkpoint: str, images_dir: str,
                                  batch_stats=restored["batch_stats"])
         states.append(state)
 
-    # The whole dataset pass is ONE compiled program per model: a
-    # lax.scan over batch tiles running the fused TTA graph, keeping
-    # probabilities device-resident, with threshold + BIT-PACKED masks
-    # computed on device. Rationale (measured through this
-    # environment's ~8 MB/s relay, but the structure is right on any
-    # host link): shipping [B, 2, 101, 101] float32 per batch capped
-    # serve at ~100 img/s while the chip computed at ~2800; per-batch
-    # host-driven dispatch (device_put / eager slices) added a
-    # round-trip per batch. One H2D of the uint8 pack (10 KB/image),
-    # one dispatch per model, one 13-byte-per-row mask gather.
+    # One compiled program per model per chunk: a lax.scan over batch
+    # tiles running the fused TTA graph, float32 probabilities staying
+    # device-resident, with the fold mean + threshold + BIT-PACKED masks
+    # computed on device. Rationale (measured through this environment's
+    # ~8 MB/s relay, but the structure is right on any host link):
+    # shipping [B, 2, 101, 101] float32 per batch capped serve at
+    # ~100 img/s while the chip computed at ~2800; per-batch host-driven
+    # dispatch (device_put / eager slices) added a round-trip per batch.
+    # One H2D of the uint8 pack (10 KB/image), one dispatch per model,
+    # one 13-byte-per-row mask gather.
     step_fn = (runner.predict_tta_step if config.postpro.use_tta
                else runner.predict_step)
     inner = step_fn.__wrapped__
     thresh = float(config.postpro.threshold_masks)
 
-    bs = max(runner.config.training.batch_size_inference, 1)
+    ndev = runner.mesh.devices.size
+    bs = max(runner.config.training.batch_size_inference // ndev, 1) * ndev
     n = len(ids)
-    n_pad = ((n + bs - 1) // bs) * bs
-    nb = n_pad // bs
-    imgs_host = images
-    if n_pad != n:
-        imgs_host = np.concatenate(
-            [images, np.zeros((n_pad - n, *images.shape[1:]),
-                              images.dtype)])
-    h_img, w_img = images.shape[1:3]
+    h_img, w_img = (mem_images.shape[1:3] if mem_images is not None
+                    else (101, 101))
+    chunk_size = max((chunk_size // bs) * bs, bs)
 
     @jax.jit
     def run_model(params, stats, imgs_b, d_b):
         def body(_, xs):
             db, dd = xs
             p = inner(params, stats, db, dd)       # [bs, 2, H, W] f32
-            return None, p[:, 1].astype(jnp.float16)
+            return None, p[:, 1]
         _, probs = jax.lax.scan(body, None, (imgs_b, d_b))
-        return probs                                # [nb, bs, H, W] f16
+        return probs                                # [nb, bs, H, W] f32
 
     @jax.jit
     def finalize(prob_sum):
-        mean = prob_sum / n_models                  # mean-before-binarize
+        mean = prob_sum / n_models                  # f32 mean-before-binarize
         return jnp.packbits(mean > thresh, axis=-1), mean.astype(jnp.float16)
 
-    imgs_d, dd = runner.device_batch(np.ascontiguousarray(imgs_host),
-                                     np.zeros((n_pad, 1), np.float32))
-    imgs_b = imgs_d.reshape(nb, bs, h_img, w_img)
-    d_b = dd.reshape(nb, bs, 1)
+    def chunks() -> Iterator[Tuple[int, np.ndarray]]:
+        for lo in range(0, n, chunk_size):
+            hi = min(lo + chunk_size, n)
+            if mem_images is not None:
+                yield hi - lo, mem_images[lo:hi]
+            else:
+                yield hi - lo, decode_images(paths[lo:hi], h_img, w_img)
+
+    def run_chunk(count: int, imgs: np.ndarray):
+        n_pad = ((count + bs - 1) // bs) * bs
+        if n_pad != count:
+            imgs = np.concatenate(
+                [imgs, np.zeros((n_pad - count, *imgs.shape[1:]),
+                                imgs.dtype)])
+        nb = n_pad // bs
+        imgs_d, dd = runner.device_batch(np.ascontiguousarray(imgs),
+                                         np.zeros((n_pad, 1), np.float32))
+        imgs_b = imgs_d.reshape(nb, bs, h_img, w_img)
+        d_b = dd.reshape(nb, bs, 1)
+        acc = None
+        for state in states:
+            p = run_model(state.params, state.batch_stats, imgs_b, d_b)
+            acc = p if acc is None else acc + p
+        packed_d, p16_d = finalize(acc)
+        packed = np.asarray(packed_d).reshape(n_pad, h_img, -1)[:count]
+        p16 = (np.asarray(p16_d).reshape(n_pad, h_img, w_img)[:count]
+               if probs_out else None)
+        return packed, p16
+
     if n <= 4096:
         # small/benchmark datasets: compile outside the timer (one extra
-        # pass); production-size runs amortize the one-time compile
+        # batch); production-size runs amortize the one-time compile
+        count0, imgs0 = next(chunks())
         s0 = states[0]
-        np.asarray(run_model(s0.params, s0.batch_stats, imgs_b,
-                             d_b)[0, 0, 0, 0])
+        warm = imgs0[:bs]
+        wd, wdd = runner.device_batch(np.ascontiguousarray(warm),
+                                      np.zeros((bs, 1), np.float32))
+        np.asarray(run_model(s0.params, s0.batch_stats,
+                             wd.reshape(1, bs, h_img, w_img),
+                             wdd.reshape(1, bs, 1))[0, 0, 0, 0])
+
     t0 = time.perf_counter()
-    acc = None
-    for state in states:
-        p = run_model(state.params, state.batch_stats, imgs_b, d_b)
-        acc = p.astype(jnp.float32) if acc is None else acc + p
-    packed_d, p16_d = finalize(acc)
-    masks_packed = np.asarray(packed_d).reshape(n_pad, h_img, -1)[:n]
+    packed_parts, prob_parts = [], []
+    for count, imgs in chunks():
+        packed, p16 = run_chunk(count, imgs)
+        packed_parts.append(packed)
+        if p16 is not None:
+            prob_parts.append(p16)
+    masks_packed = np.concatenate(packed_parts, axis=0)
     dt = time.perf_counter() - t0
     ips = n * n_models / dt
 
@@ -181,9 +237,16 @@ def serve(config: Config, checkpoint: str, images_dir: str,
     submission = create_submission(pd.DataFrame({"id": ids}), y_pred)
     submission.to_csv(out_csv, index=None, encoding="utf-8")
     if probs_out:
-        probs = np.asarray(p16_d).reshape(n_pad, h_img, w_img)[:n]
+        probs = np.concatenate(prob_parts, axis=0)
         np.savez_compressed(probs_out, ids=np.array(ids, dtype=object),
                             probs=probs)
     logger.info("served %d images at %.0f img/s -> %s", n, ips, out_csv)
-    return {"n": n, "images_per_sec": round(ips, 1),
-            "submission": out_csv}
+    result = {"n": n, "images_per_sec": round(ips, 1),
+              "submission": out_csv}
+    if config.model.quant_bits and ckpts:
+        # int8 provenance: checkpoint hashes + matching gate artifacts
+        # land next to the submission (pipeline/quality.py)
+        from salt_tpu.pipeline.quality import write_serve_provenance
+        result["int8_provenance"] = write_serve_provenance(
+            out_csv, ckpts, config.model.quant_bits, checkpoint)
+    return result

@@ -107,24 +107,120 @@ def test_serve_restores_checkpoint(tmp_path, cpu_config):
                                atol=1e-3)
 
 
-def test_serve_int8_cli_flag(tmp_path, cpu_config, monkeypatch):
-    """--int8 flips model.quant_bits through the CLI serve path; the
-    AQT conv path must produce near-identical masks on CPU."""
+def test_serve_masks_match_predict_dataset(tmp_path, cpu_config):
+    """serve() must be EXACT vs the evaluate/predict_dataset path: f32
+    fold-mean + f32 threshold -> bit-equal masks (VERDICT r2 weak #3:
+    the old f16 accumulation could flip pixels near 0.5)."""
+    from salt_tpu.core.experiment import Experiment
+    from salt_tpu.data.bundle import synthetic_bundle
+    from salt_tpu.ops.rle import run_length_decoding
+    from salt_tpu.pipeline import api
+
+    cfg = cpu_config
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 3
+    cfg.training.dtype = "float32"
+    cfg.training.epochs = 1
+    cfg.training.batch_size_train = 8
+    cfg.training.batch_size_inference = 8
+    cfg.postpro.use_tta = True
+    cfg.paths.experiment_dir = str(tmp_path / "exp")
+    exp = Experiment(cfg.paths.experiment_dir)
+    api.train(cfg, exp, synthetic_bundle(16, seed=1))
+
+    out_csv = str(tmp_path / "sub.csv")
+    serve(cfg, checkpoint=cfg.paths.experiment_dir, images_dir="",
+          out_csv=out_csv, synthetic=8)
+    import pandas as pd
+    sub = pd.read_csv(out_csv, keep_default_na=False)
+    served_masks = np.stack([
+        run_length_decoding(r or "", (101, 101))
+        for r in sub["rle_mask"].tolist()])
+
+    test_b = synthetic_bundle(8, seed=cfg.execution.seed, with_masks=False)
+    probs = api._predict_bundle(api.SegmentationRunner(cfg), exp,
+                                "network", test_b)
+    ref_masks = np.stack(api._binarize(probs, cfg.postpro.threshold_masks))
+    np.testing.assert_array_equal(served_masks, ref_masks)
+
+
+def test_serve_streaming_chunks(tmp_path, cpu_config):
+    """Chunked streaming decode: serving a PNG directory with a chunk
+    smaller than the dataset gives identical output to one big chunk,
+    and never holds more than a chunk in RAM (decode is per-chunk)."""
+    from PIL import Image
+    from salt_tpu.data.bundle import synthetic_bundle
+
+    b = synthetic_bundle(12, seed=4)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(12):
+        Image.fromarray(b.images[i]).save(img_dir / f"img_{i:03d}.png")
+
+    cfg = cpu_config
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 3
+    cfg.training.dtype = "float32"
+    cfg.training.batch_size_inference = 4
+    import pandas as pd
+    outs = []
+    for chunk in (4, 4096):
+        out_csv = str(tmp_path / f"sub_{chunk}.csv")
+        probs_out = str(tmp_path / f"p_{chunk}.npz")
+        r = serve(cfg, checkpoint="", images_dir=str(img_dir),
+                  out_csv=out_csv, probs_out=probs_out, chunk_size=chunk)
+        assert r["n"] == 12
+        outs.append((pd.read_csv(out_csv, keep_default_na=False),
+                     np.load(probs_out, allow_pickle=True)["probs"]))
+    (sub_a, p_a), (sub_b, p_b) = outs
+    pd.testing.assert_frame_equal(sub_a, sub_b)
+    np.testing.assert_array_equal(p_a, p_b)
+
+
+def test_serve_int8_cli_flag(tmp_path, cpu_config):
+    """--int8 flips model.quant_bits through the CLI serve path on a
+    configuration where it actually routes through the quantized conv
+    path: a UNetTrunk architecture (UNetResNet18 — SaltUNet ignores
+    conv_fn) with TTA enabled (predict_tta_step / predict_step both
+    build the infer model since round 3). The int8 probabilities must
+    DIFFER from the float path (the flag is live) while agreeing within
+    quantization tolerance."""
     import subprocess, sys, os
     env = dict(os.environ)
     env["SALT_TPU_PLATFORM"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
     out_csv = str(tmp_path / "sub_int8.csv")
+    probs_int8 = str(tmp_path / "probs_int8.npz")
+    arch = ["--set", "model.architecture=UNetResNet",
+            "--set", "model.encoder_depth=18",
+            "--set", "training.dtype=float32",
+            "--set", "training.batch_size_inference=8"]
     cmd = [sys.executable, "-m", "salt_tpu.cli", "serve",
-           "--synthetic", "8", "--out", out_csv, "--no-tta",
-           "--int8",
-           "--set", "model.architecture=SaltUNet",
-           "--set", "model.n_filters=8",
-           "--set", "model.repeat_blocks=3",
-           "--set", "training.dtype=float32"]
+           "--synthetic", "8", "--out", out_csv,
+           "--probs-out", probs_int8, "--int8", *arch]
     proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                          timeout=500)
+                          timeout=900)
     assert proc.returncode == 0, proc.stderr[-2000:]
     import pandas as pd
     sub = pd.read_csv(out_csv)
     assert len(sub) == 8
+    got_int8 = np.load(probs_int8, allow_pickle=True)["probs"]
+
+    # float reference in-process (same synthetic seed, same fresh-init
+    # weights): int8 must differ-but-agree
+    cfg = cpu_config
+    cfg.model.architecture = "UNetResNet"
+    cfg.model.encoder_depth = 18
+    cfg.model.quant_bits = 0
+    cfg.postpro.use_tta = True
+    cfg.training.batch_size_inference = 8
+    probs_f = str(tmp_path / "probs_f.npz")
+    serve(cfg, checkpoint="", images_dir="",
+          out_csv=str(tmp_path / "sub_f.csv"), probs_out=probs_f,
+          synthetic=8)
+    got_f = np.load(probs_f, allow_pickle=True)["probs"]
+    diff = np.abs(got_int8.astype(np.float32) - got_f.astype(np.float32))
+    assert diff.max() > 0.0, "int8 flag was a no-op (identical probs)"
+    assert diff.max() < 0.15, f"int8 diverges too far: {diff.max()}"
