@@ -69,6 +69,32 @@ def measure_train(runner, state, batch, iters=15, windows=3):
     return best
 
 
+def measure_multichip_scaling(cfg, single_chip_ips):
+    """Weak-scaling probe — engages automatically when >1 real chip is
+    visible (VERDICT r2 #3): same per-chip batch, batch axis sharded
+    over the full mesh; reports aggregate + per-chip rate to stderr."""
+    import jax
+    from salt_tpu.train.steps import SegmentationRunner
+
+    n = len(jax.devices())
+    if n <= 1:
+        return None
+    import dataclasses
+    cfg_n = dataclasses.replace(
+        cfg, parallel=dataclasses.replace(cfg.parallel, n_devices=n),
+        training=dataclasses.replace(
+            cfg.training,
+            batch_size_inference=cfg.training.batch_size_inference * n))
+    runner = SegmentationRunner(cfg_n)
+    state = runner.init_state(0)
+    agg = measure_tta(runner, state, cfg_n.training.batch_size_inference)
+    print(f"context: multichip DP x{n}: {agg:.0f} img/s aggregate "
+          f"({agg / n:.0f}/chip; 1-chip {single_chip_ips:.0f}; "
+          f"efficiency {agg / (n * single_chip_ips) * 100:.0f}%)",
+          file=sys.stderr)
+    return agg
+
+
 def main():
     from salt_tpu.core.config import default_config
     from salt_tpu.train.steps import SegmentationRunner
@@ -82,6 +108,7 @@ def main():
     cfg.model.quant_bits = 8
     cfg.training.batch_size_inference = 64
     cfg.training.batch_size_train = 128
+    cfg.parallel.n_devices = 1            # headline metric is per-chip
 
     runner = SegmentationRunner(cfg)
     state = runner.init_state(0)
@@ -91,6 +118,10 @@ def main():
     print(f"context: UNetResNet34 train {train_ips:.0f} img/s/chip "
           f"(bs{cfg.training.batch_size_train}, fused aug+fwd+lovasz+bwd)",
           file=sys.stderr)
+    try:
+        measure_multichip_scaling(cfg, tta_ips)
+    except Exception as e:                 # scaling probe must never
+        print(f"context: multichip probe skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "unet_resnet34_tta_inference_throughput_128px",
