@@ -2,10 +2,20 @@
 
 TPU-first re-design of the reference's torch blocks (reference:
 common_blocks/architectures/base.py): NHWC layout, bfloat16-friendly
-compute dtype with float32 params/BN stats, SAME padding (the reference
-pads asymmetrically right+top via ReplicationPad2d(0, kh-1, kw-1, 0),
-base.py:26 — a quirk we deliberately do not copy), bilinear upsampling
-via jax.image.resize.
+compute dtype with float32 params/BN stats, SAME padding and half-pixel
+bilinear upsampling (jax.image.resize) by default.
+
+Reference-parity modes (round 3, for whole-model torch-forward
+fidelity): the reference pads its decoder convs asymmetrically — edge
+replication of kh-1 rows on TOP and kw-1 cols on the RIGHT, then a
+VALID conv (ReplicationPad2d((0, kh-1, kw-1, 0)), base.py:26-31), which
+shifts every decoder feature map ~1px vs centered SAME padding — and
+its torch-0.3.1 ``nn.Upsample(bilinear)`` used align_corners=True
+grid mapping. Both quirks are reproducible here via
+``conv_pad_mode="reference"`` and ``upsample_mode="align_corners"``
+(model config knobs); the golden test
+(tests/test_flagship_golden.py) pins the full flagship forward against
+a torch evaluation of the same weights in these modes.
 
 Blocks covered: Conv2dBnRelu, DeconvConv2dBnRelu, DecoderBlock (scSE),
 ChannelSELayer, SpatialSELayer, DepthChannelExcitation,
@@ -47,29 +57,67 @@ def _up2_interleave(x: jax.Array) -> jax.Array:
                      axis=3).reshape(b, 2 * h, 2 * w, c)
 
 
-def upsample2x(x: jax.Array, factor: int = 2) -> jax.Array:
+def _align_corners_matrix(n_in: int, n_out: int):
+    """Two-tap interpolation matrix [n_out, n_in] for torch-0.3.1
+    ``nn.Upsample(mode='bilinear')`` semantics (align_corners=True):
+    src = i * (n_in - 1) / (n_out - 1)."""
+    import numpy as np
+    if n_in == 1 or n_out == 1:
+        return np.ones((n_out, n_in), np.float32) / n_in
+    src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(src).astype(np.int64)
+    frac = (src - lo).astype(np.float32)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w = np.zeros((n_out, n_in), np.float32)
+    w[np.arange(n_out), lo] += 1.0 - frac
+    w[np.arange(n_out), hi] += frac
+    return w
+
+
+def upsample2x(x: jax.Array, factor: int = 2,
+               mode: str = "half_pixel") -> jax.Array:
     """Bilinear NHWC upsample (reference uses nn.Upsample/F.upsample
     bilinear, base.py:70, unet.py:101-107).
 
-    jax.image.resize, measured fastest end-to-end in interleaved on-TPU
-    A/Bs of the full flagship graphs: vs matmul interpolation (66 vs
-    81 ms/TTA-batch, round 1) and vs the explicit 2-tap interleave
-    stencil above (22.5 vs 27.0 ms/TTA-batch at bs64 int8, round 2 —
-    the stack+reshape interleave produces worse layouts than XLA's own
-    resize lowering). SALT_TPU_INTERLEAVE_UPSAMPLE=1 re-enables the
-    stencil for future A/Bs."""
+    mode="half_pixel" (default): jax.image.resize, measured fastest
+    end-to-end in interleaved on-TPU A/Bs of the full flagship graphs:
+    vs matmul interpolation (66 vs 81 ms/TTA-batch, round 1) and vs the
+    explicit 2-tap interleave stencil above (22.5 vs 27.0 ms/TTA-batch
+    at bs64 int8, round 2 — the stack+reshape interleave produces worse
+    layouts than XLA's own resize lowering).
+    SALT_TPU_INTERLEAVE_UPSAMPLE=1 re-enables the stencil for A/Bs.
+
+    mode="align_corners": exact torch-0.3.1 grid mapping (the
+    reference's upsample semantics) as two small matmuls — used by the
+    reference-parity build and the whole-model golden."""
     import os
+    b, h, w, c = x.shape
+    if mode == "align_corners":
+        wh = jnp.asarray(_align_corners_matrix(h, h * factor), x.dtype)
+        ww = jnp.asarray(_align_corners_matrix(w, w * factor), x.dtype)
+        y = jnp.einsum("oh,bhwc->bowc", wh, x)
+        return jnp.einsum("pw,bowc->bopc", ww, y)
     if os.environ.get("SALT_TPU_ABLATE_NEAREST_UP"):  # perf-ablation stub
         return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
     if factor == 2 and os.environ.get("SALT_TPU_INTERLEAVE_UPSAMPLE"):
         return _up2_interleave(x)
-    b, h, w, c = x.shape
     return jax.image.resize(x, (b, h * factor, w * factor, c),
                             method="linear")
 
 
+def reference_pad(x: jax.Array, kh: int, kw: int) -> jax.Array:
+    """The reference's asymmetric replication pad: kh-1 rows on TOP,
+    kw-1 cols on the RIGHT (ReplicationPad2d((0, kw-1, kh-1, 0)),
+    reference: base.py:26-31); follow with a VALID conv."""
+    return jnp.pad(x, ((0, 0), (kh - 1, 0), (0, kw - 1), (0, 0)),
+                   mode="edge")
+
+
 class ConvBnRelu(nn.Module):
-    """Conv -> BN -> ReLU (reference: base.py:7-37)."""
+    """Conv -> BN -> ReLU (reference: base.py:7-37).
+
+    pad_mode "same" (default, centered) | "reference" (the reference's
+    top+right replication-pad quirk — see module docstring)."""
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (1, 1)
@@ -77,11 +125,16 @@ class ConvBnRelu(nn.Module):
     use_batch_norm: bool = True
     dtype: Dtype = jnp.float32
     conv_fn: Any = None
+    pad_mode: str = "same"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        padding = "SAME"
+        if self.pad_mode == "reference":
+            x = reference_pad(x, *self.kernel_size)
+            padding = "VALID"
         x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                    padding="SAME", use_bias=not self.use_batch_norm,
+                    padding=padding, use_bias=not self.use_batch_norm,
                     dtype=self.dtype, **conv_kwargs(self.conv_fn))(x)
         if self.use_batch_norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -161,6 +214,7 @@ class SlicedConcatConv(nn.Module):
     in_channels: int
     dtype: Dtype = jnp.float32
     conv_fn: Any = None
+    pad_mode: str = "same"
 
     @nn.compact
     def __call__(self, branches, upsample_factors=None):
@@ -168,6 +222,12 @@ class SlicedConcatConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, self.in_channels, self.features), jnp.float32)
         k = kernel.astype(self.dtype)
+        padding = "SAME"
+        if self.pad_mode == "reference":
+            # spatial pad commutes with the channel split: padding each
+            # branch == padding the concat
+            branches = [reference_pad(b, 3, 3) for b in branches]
+            padding = "VALID"
         dn = jax.lax.conv_dimension_numbers(
             branches[0].shape, k.shape, ("NHWC", "HWIO", "NHWC"))
         conv = self.conv_fn or jax.lax.conv_general_dilated
@@ -176,7 +236,7 @@ class SlicedConcatConv(nn.Module):
         for i, b in enumerate(branches):
             c = b.shape[-1]
             y = conv(b.astype(self.dtype), k[:, :, off:off + c, :],
-                     window_strides=(1, 1), padding="SAME",
+                     window_strides=(1, 1), padding=padding,
                      dimension_numbers=dn)
             if upsample_factors is not None and upsample_factors[i] > 1:
                 # perf-probe path only (approximate): upsample the conv
@@ -195,14 +255,15 @@ class SlicedConcatConvBnRelu(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     conv_fn: Any = None
+    pad_mode: str = "same"
 
     @nn.compact
     def __call__(self, branches, train: bool = False,
                  upsample_factors=None):
         cin = sum(br.shape[-1] for br in branches)
         y = SlicedConcatConv(self.features, cin, dtype=self.dtype,
-                             conv_fn=self.conv_fn, name="Conv_0")(
-                                 branches, upsample_factors)
+                             conv_fn=self.conv_fn, pad_mode=self.pad_mode,
+                             name="Conv_0")(branches, upsample_factors)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          name="BatchNorm_0")(y)
@@ -221,29 +282,32 @@ class DecoderBlock(nn.Module):
     # (v5e A/B, see UNetTrunk docstring) — the runner builds the train
     # graph with False and the predict graphs with True
     use_sliced_concat: bool = True
+    pad_mode: str = "same"
+    upsample_mode: str = "half_pixel"
 
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None,
                  train: bool = False):
-        x = upsample2x(x)
+        x = upsample2x(x, mode=self.upsample_mode)
         if skip is not None and self.use_sliced_concat:
             # conv-over-concat without materializing the concat (exact
             # same math and params as concatenate + ConvBnRelu)
             x = SlicedConcatConvBnRelu(
                 self.middle_features, dtype=self.dtype,
-                conv_fn=self.conv_fn, name="ConvBnRelu_0")(
-                    [x, skip.astype(x.dtype)], train)
+                conv_fn=self.conv_fn, pad_mode=self.pad_mode,
+                name="ConvBnRelu_0")([x, skip.astype(x.dtype)], train)
         elif skip is not None:
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = ConvBnRelu(self.middle_features, dtype=self.dtype,
-                           conv_fn=self.conv_fn,
+                           conv_fn=self.conv_fn, pad_mode=self.pad_mode,
                            name="ConvBnRelu_0")(x, train)
         else:
             x = ConvBnRelu(self.middle_features, dtype=self.dtype,
-                           conv_fn=self.conv_fn,
+                           conv_fn=self.conv_fn, pad_mode=self.pad_mode,
                            name="ConvBnRelu_0")(x, train)
         x = ConvBnRelu(self.features, dtype=self.dtype,
-                       conv_fn=self.conv_fn, name="ConvBnRelu_1")(x, train)
+                       conv_fn=self.conv_fn, pad_mode=self.pad_mode,
+                       name="ConvBnRelu_1")(x, train)
         cse = ChannelSELayer(dtype=self.dtype)(x)
         sse = SpatialSELayer(dtype=self.dtype)(x)
         return nn.relu(cse + sse)

@@ -45,7 +45,9 @@ def _unet_resnet(cfg: ModelConfig, dtype):
                       dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
                       conv_fn=_conv_fn(cfg),
                       hypercolumn_impl=cfg.hypercolumn_impl,
-                      decoder_impl=cfg.decoder_impl)
+                      decoder_impl=cfg.decoder_impl,
+                      pad_mode=cfg.conv_pad_mode,
+                      upsample_mode=cfg.upsample_mode)
 
 
 def _unet_seresnet(cfg: ModelConfig, dtype):
@@ -56,7 +58,9 @@ def _unet_seresnet(cfg: ModelConfig, dtype):
                         dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
                         conv_fn=_conv_fn(cfg),
                         hypercolumn_impl=cfg.hypercolumn_impl,
-                      decoder_impl=cfg.decoder_impl)
+                      decoder_impl=cfg.decoder_impl,
+                      pad_mode=cfg.conv_pad_mode,
+                      upsample_mode=cfg.upsample_mode)
 
 
 def _unet_seresnext(cfg: ModelConfig, dtype):
@@ -67,7 +71,9 @@ def _unet_seresnext(cfg: ModelConfig, dtype):
                           dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
                           conv_fn=_conv_fn(cfg),
                           hypercolumn_impl=cfg.hypercolumn_impl,
-                      decoder_impl=cfg.decoder_impl)
+                      decoder_impl=cfg.decoder_impl,
+                      pad_mode=cfg.conv_pad_mode,
+                      upsample_mode=cfg.upsample_mode)
 
 
 def _unet_densenet(cfg: ModelConfig, dtype):
@@ -78,7 +84,9 @@ def _unet_densenet(cfg: ModelConfig, dtype):
                         dropout_2d=cfg.dropout_2d, pool0=cfg.pool0, dtype=dtype,
                         conv_fn=_conv_fn(cfg),
                         hypercolumn_impl=cfg.hypercolumn_impl,
-                      decoder_impl=cfg.decoder_impl)
+                      decoder_impl=cfg.decoder_impl,
+                      pad_mode=cfg.conv_pad_mode,
+                      upsample_mode=cfg.upsample_mode)
 
 
 def _unet_resnet_depth(cfg: ModelConfig, dtype):

@@ -150,6 +150,74 @@ def convert_densenet_encoder(sd: Dict[str, np.ndarray]
     return params, stats
 
 
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _cbr(sd: Dict[str, np.ndarray], pre: str) -> Tuple[dict, dict]:
+    """Reference ``Conv2dBnRelu`` (base.py:7-37) -> flax ConvBnRelu
+    params/stats. The reference's conv keeps its bias even under BN
+    (nn.Conv2d default); flax drops it — the bias is folded into the BN
+    running mean (mean' = mean - bias), which is exact: in eval the BN
+    subtracts it right back, and in train mode a pre-BN bias cancels in
+    the batch-mean subtraction."""
+    p = {"Conv_0": {"kernel": _conv(sd[f"{pre}.conv.weight"])}}
+    bn_p, bn_s = _bn(sd, f"{pre}.batch_norm")
+    if f"{pre}.conv.bias" in sd:
+        bn_s = {"mean": bn_s["mean"] - sd[f"{pre}.conv.bias"],
+                "var": bn_s["var"]}
+    p["BatchNorm_0"] = bn_p
+    return p, {"BatchNorm_0": bn_s}
+
+
+def _decoder_block(sd: Dict[str, np.ndarray], pre: str) -> Tuple[dict, dict]:
+    """Reference scSE ``DecoderBlock`` (base.py:65-117) -> flax
+    DecoderBlock params/stats. The spatial-SE 1x1 conv maps onto the
+    flax Dense formulation (identical math — blocks.py SpatialSELayer)."""
+    p: dict = {}
+    s: dict = {}
+    p["ConvBnRelu_0"], s["ConvBnRelu_0"] = _cbr(sd, f"{pre}.conv1")
+    p["ConvBnRelu_1"], s["ConvBnRelu_1"] = _cbr(sd, f"{pre}.conv2")
+    p["ChannelSELayer_0"] = {
+        "Dense_0": {"kernel": _linear(sd[f"{pre}.channel_se.fc.0.weight"]),
+                    "bias": sd[f"{pre}.channel_se.fc.0.bias"]},
+        "Dense_1": {"kernel": _linear(sd[f"{pre}.channel_se.fc.2.weight"]),
+                    "bias": sd[f"{pre}.channel_se.fc.2.bias"]},
+    }
+    w = sd[f"{pre}.spatial_se.fc.weight"]           # [1, C, 1, 1]
+    p["SpatialSELayer_0"] = {
+        "Dense_0": {"kernel": w.reshape(w.shape[:2]).T,   # -> [C, 1]
+                    "bias": sd[f"{pre}.spatial_se.fc.bias"]},
+    }
+    return p, s
+
+
+def convert_unet_resnet(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """FULL reference ``UNetResNet`` state_dict (architectures/unet.py:
+    22-109: encoders + center + dec5..dec1 + final) -> complete
+    (params, batch_stats) trees for the flax UNetResNet trunk. Run the
+    flax model with ``conv_pad_mode="reference"`` and
+    ``upsample_mode="align_corners"`` for forward fidelity with the
+    torch original (tests/test_flagship_golden.py)."""
+    enc_prefix = "encoders.encoder."
+    enc_sd = {k[len(enc_prefix):]: v for k, v in sd.items()
+              if k.startswith(enc_prefix)}
+    if not enc_sd:
+        raise KeyError("state_dict has no 'encoders.encoder.*' keys — "
+                       "not a full reference UNetResNet checkpoint")
+    enc_p, enc_s = convert_resnet_encoder(enc_sd)
+    params: dict = {"encoder": enc_p}
+    stats: dict = {"encoder": enc_s}
+    params["center_conv1"], stats["center_conv1"] = _cbr(sd, "center.0")
+    params["center_conv2"], stats["center_conv2"] = _cbr(sd, "center.1")
+    for k in range(1, 6):
+        params[f"dec{k}"], stats[f"dec{k}"] = _decoder_block(sd, f"dec{k}")
+    params["final_conv"], stats["final_conv"] = _cbr(sd, "final.0")
+    params["head"] = {"kernel": _conv(sd["final.1.weight"]),
+                      "bias": sd["final.1.bias"]}
+    return params, stats
+
+
 def convert_encoder(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
     """Dispatch on the checkpoint's naming scheme: torchvision DenseNet
     (``features.*``), pretrainedmodels SENet (``layer0.*``), or
@@ -159,35 +227,45 @@ def convert_encoder(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
     return convert_resnet_encoder(sd)
 
 
+def _check(tree_a, tree_b, path=""):
+    for k, v in tree_b.items():
+        if k not in tree_a:
+            raise KeyError(f"pretrained key {path}/{k} not in model")
+        if isinstance(v, dict):
+            _check(tree_a[k], v, f"{path}/{k}")
+        else:
+            want = np.shape(tree_a[k])
+            got = np.shape(v)
+            if want != got:
+                raise ValueError(
+                    f"shape mismatch at {path}/{k}: model {want}, "
+                    f"checkpoint {got}")
+
+
+def _merge(tree_a, tree_b):
+    out = dict(tree_a)
+    for k, v in tree_b.items():
+        if isinstance(v, dict):
+            out[k] = _merge(tree_a[k], v)
+        else:
+            out[k] = np.asarray(v, dtype=np.asarray(tree_a[k]).dtype)
+    return out
+
+
+def graft_model(variables: dict, params: dict, stats: dict) -> dict:
+    """Replace a model's WHOLE param/batch-stat trees with converted
+    weights (e.g. a full reference UNetResNet checkpoint via
+    :func:`convert_unet_resnet`), with leaf-by-leaf shape checking."""
+    _check(variables["params"], params)
+    _check(variables.get("batch_stats", {}), stats)
+    return {"params": _merge(variables["params"], params),
+            "batch_stats": _merge(variables.get("batch_stats", {}), stats)}
+
+
 def graft_encoder(variables: dict, enc_params: dict, enc_stats: dict,
                   scope: str = "encoder") -> dict:
     """Replace the encoder subtree of a model's variables with converted
     pretrained weights, after checking shape agreement leaf-by-leaf."""
-    import jax
-
-    def _check(tree_a, tree_b, path=""):
-        for k, v in tree_b.items():
-            if k not in tree_a:
-                raise KeyError(f"pretrained key {path}/{k} not in model")
-            if isinstance(v, dict):
-                _check(tree_a[k], v, f"{path}/{k}")
-            else:
-                want = np.shape(tree_a[k])
-                got = np.shape(v)
-                if want != got:
-                    raise ValueError(
-                        f"shape mismatch at {path}/{k}: model {want}, "
-                        f"checkpoint {got}")
-
-    def _merge(tree_a, tree_b):
-        out = dict(tree_a)
-        for k, v in tree_b.items():
-            if isinstance(v, dict):
-                out[k] = _merge(tree_a[k], v)
-            else:
-                out[k] = np.asarray(v, dtype=np.asarray(tree_a[k]).dtype)
-        return out
-
     new_vars = {k: dict(v) for k, v in variables.items()}
     target_p = new_vars["params"]
     target_s = new_vars.get("batch_stats", {})

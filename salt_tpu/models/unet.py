@@ -40,6 +40,10 @@ class UNetTrunk(nn.Module):
     # "concat" and the predict graphs with "sum".
     hypercolumn_impl: str = "sum"
     decoder_impl: str = "sum"
+    # reference-parity modes (see blocks.py docstring): pad_mode
+    # "same"|"reference", upsample_mode "half_pixel"|"align_corners"
+    pad_mode: str = "same"
+    upsample_mode: str = "half_pixel"
     dtype: Any = jnp.float32
     conv_fn: Any = None
 
@@ -57,27 +61,34 @@ class UNetTrunk(nn.Module):
 
         # center: 2x ConvBnRelu then avg-pool stride 2 (unet.py:60-63)
         cf = self.conv_fn
+        pm, um = self.pad_mode, self.upsample_mode
         sliced = self.decoder_impl == "sum"
-        center = ConvBnRelu(b, dtype=self.dtype, conv_fn=cf,
+        center = ConvBnRelu(b, dtype=self.dtype, conv_fn=cf, pad_mode=pm,
                             name="center_conv1")(enc5, train)
         center = ConvBnRelu(b // 2, dtype=self.dtype, conv_fn=cf,
+                            pad_mode=pm,
                             name="center_conv2")(center, train)
         center = nn.avg_pool(center, (2, 2), strides=(2, 2))
 
         dec5 = DecoderBlock(b, b // 8, dtype=self.dtype, conv_fn=cf,
-                            use_sliced_concat=sliced,
+                            use_sliced_concat=sliced, pad_mode=pm,
+                            upsample_mode=um,
                             name="dec5")(center, enc5, train)
         dec4 = DecoderBlock(b // 2, b // 8, dtype=self.dtype, conv_fn=cf,
-                            use_sliced_concat=sliced,
+                            use_sliced_concat=sliced, pad_mode=pm,
+                            upsample_mode=um,
                             name="dec4")(dec5, enc4, train)
         dec3 = DecoderBlock(b // 4, b // 8, dtype=self.dtype, conv_fn=cf,
-                            use_sliced_concat=sliced,
+                            use_sliced_concat=sliced, pad_mode=pm,
+                            upsample_mode=um,
                             name="dec3")(dec4, enc3, train)
         dec2 = DecoderBlock(b // 8, b // 8, dtype=self.dtype, conv_fn=cf,
-                            use_sliced_concat=sliced,
+                            use_sliced_concat=sliced, pad_mode=pm,
+                            upsample_mode=um,
                             name="dec2")(dec3, enc2, train)
         dec1 = DecoderBlock(b // 16, b // 8, dtype=self.dtype, conv_fn=cf,
-                            use_sliced_concat=sliced,
+                            use_sliced_concat=sliced, pad_mode=pm,
+                            upsample_mode=um,
                             name="dec1")(dec2, None, train)
 
         if self.use_hypercolumn:
@@ -96,23 +107,25 @@ class UNetTrunk(nn.Module):
             else:
                 branches = [
                     dec1,
-                    upsample2x(dec2, 2),
-                    upsample2x(dec3, 4),
-                    upsample2x(dec4, 8),
-                    upsample2x(dec5, 16),
+                    upsample2x(dec2, 2, mode=um),
+                    upsample2x(dec3, 4, mode=um),
+                    upsample2x(dec4, 8, mode=um),
+                    upsample2x(dec5, 16, mode=um),
                 ]
             if branches is None:
                 pass
             elif self.hypercolumn_impl == "sum":
                 y = SlicedConcatConvBnRelu(b // 8, dtype=self.dtype,
-                                           conv_fn=cf,
+                                           conv_fn=cf, pad_mode=pm,
                                            name="final_conv")(branches, train)
             else:
                 head_in = jnp.concatenate(branches, axis=-1)
                 y = ConvBnRelu(b // 8, dtype=self.dtype, conv_fn=cf,
+                               pad_mode=pm,
                                name="final_conv")(head_in, train)
         else:
             y = ConvBnRelu(b // 8, dtype=self.dtype, conv_fn=cf,
+                           pad_mode=pm,
                            name="final_conv")(dec1, train)
         if return_dec1:
             return y
@@ -124,7 +137,8 @@ class UNetTrunk(nn.Module):
 def UNetResNet(encoder_depth=34, num_classes=2, dropout_2d=0.0,
                use_hypercolumn=True, pool0=False, dtype=jnp.float32,
                conv_fn=None, hypercolumn_impl="sum",
-               decoder_impl="sum"):
+               decoder_impl="sum", pad_mode="same",
+               upsample_mode="half_pixel"):
     """(reference: unet.py:22-109; registry defaults models.py:15-19)."""
     bottom = 512 if encoder_depth in (18, 34) else 2048
     return UNetTrunk(encoder_kind="resnet", encoder_depth=encoder_depth,
@@ -132,39 +146,45 @@ def UNetResNet(encoder_depth=34, num_classes=2, dropout_2d=0.0,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
                      bottom_channels=bottom, dtype=dtype, conv_fn=conv_fn,
                      hypercolumn_impl=hypercolumn_impl,
-                     decoder_impl=decoder_impl)
+                     decoder_impl=decoder_impl, pad_mode=pad_mode,
+                     upsample_mode=upsample_mode)
 
 
 def UNetSeResNet(encoder_depth=50, num_classes=2, dropout_2d=0.0,
                  use_hypercolumn=True, pool0=False, dtype=jnp.float32,
                  conv_fn=None, hypercolumn_impl="sum",
-                 decoder_impl="sum"):
+                 decoder_impl="sum", pad_mode="same",
+                 upsample_mode="half_pixel"):
     """(reference: unet.py:112-172)."""
     return UNetTrunk(encoder_kind="se_resnet", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
                      bottom_channels=2048, dtype=dtype, conv_fn=conv_fn,
                      hypercolumn_impl=hypercolumn_impl,
-                     decoder_impl=decoder_impl)
+                     decoder_impl=decoder_impl, pad_mode=pad_mode,
+                     upsample_mode=upsample_mode)
 
 
 def UNetSeResNetXt(encoder_depth=50, num_classes=2, dropout_2d=0.0,
                    use_hypercolumn=True, pool0=False, dtype=jnp.float32,
                    conv_fn=None, hypercolumn_impl="sum",
-                 decoder_impl="sum"):
+                   decoder_impl="sum", pad_mode="same",
+                   upsample_mode="half_pixel"):
     """(reference: unet.py:175-235; SE-ResNeXt50_32x4d encoder)."""
     return UNetTrunk(encoder_kind="se_resnext", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
                      bottom_channels=2048, dtype=dtype, conv_fn=conv_fn,
                      hypercolumn_impl=hypercolumn_impl,
-                     decoder_impl=decoder_impl)
+                     decoder_impl=decoder_impl, pad_mode=pad_mode,
+                     upsample_mode=upsample_mode)
 
 
 def UNetDenseNet(encoder_depth=121, num_classes=2, dropout_2d=0.0,
                  use_hypercolumn=True, pool0=False, dtype=jnp.float32,
                  conv_fn=None, hypercolumn_impl="sum",
-                 decoder_impl="sum"):
+                 decoder_impl="sum", pad_mode="same",
+                 upsample_mode="half_pixel"):
     """(reference: unet.py:238-307). bottom_channels follows the last
     dense block (1024 for densenet121)."""
     from salt_tpu.models.encoders import encoder_channels
@@ -174,4 +194,5 @@ def UNetDenseNet(encoder_depth=121, num_classes=2, dropout_2d=0.0,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
                      bottom_channels=bottom, dtype=dtype, conv_fn=conv_fn,
                      hypercolumn_impl=hypercolumn_impl,
-                     decoder_impl=decoder_impl)
+                     decoder_impl=decoder_impl, pad_mode=pad_mode,
+                     upsample_mode=upsample_mode)
