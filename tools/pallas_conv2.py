@@ -1,0 +1,274 @@
+"""Pallas pair-packed conv v2: variant sweep for the c64->64 @128^2
+kernel (VERDICT r2 #1, continuing tools/pallas_conv.py).
+
+v1 (pallas_conv.py::make_conv64p_kernel) measured 48.1 TF/s useful vs
+XLA's 33.3 at the model shape. v1's known waste: 3 per-ky f32
+cast+rolls (rolls are 32-bit-only in Mosaic), a K=768 concat
+materialization, and a serial DMA. Variants here:
+
+  v2_slice   native-bf16 unaligned sublane slice slab[:, 1:PO+1, :]
+             instead of roll (if Mosaic accepts the offset-1 sublane
+             slice, the f32 hop disappears).
+  v2_hoist   ONE f32 roll of the whole (tile_h+2)-row buffer, sliced
+             per ky (1/3 the roll volume of v1).
+  split dots 6 accumulated [M,128]x[128,128] dots instead of the
+             concat into one [M,768] dot (no concat materialization).
+  db         double-buffered DMA: grid step i prefetches tile i+1's
+             rows while computing (scratch persists across the
+             sequential TPU grid).
+  int8       same structure, int8 x int8 -> int32 dot (XLA dot_general
+             was measured at 182 TOP/s on this chip; if Mosaic's conv
+             dot engages the int8 MXU rate the useful ceiling is
+             ~135 TF/s-equivalent).
+
+Run ON TPU: python tools/pallas_conv2.py
+"""
+import functools
+import time
+
+import numpy as np
+
+WPAD2 = 16  # W+2 -> W+16 (pair packing needs /128-lane alignment)
+
+
+def pack_pairs(x):
+    B, Hp, Wp, C = x.shape
+    return x.reshape(B, Hp, Wp // 2, 2 * C)
+
+
+def pack_pair_weights(w):
+    """w [3,3,64,64] -> [768, 128] (see pallas_conv.py)."""
+    C, F = w.shape[2], w.shape[3]
+    wp = np.zeros((3 * 4 * C, 2 * F), np.float32)
+    for ky in range(3):
+        for px in range(4):
+            r0 = (ky * 4 + px) * C
+            if px <= 2:
+                wp[r0:r0 + C, :F] = w[ky, px]
+            if px >= 1:
+                wp[r0:r0 + C, F:] = w[ky, px - 1]
+    return wp
+
+
+def make_conv64p_v2(tile_h, H, W, C=64, *, shift="hoist", dots="split",
+                    db=False, int8=False):
+    """Pair-packed c64->64 conv, variant-parameterized.
+
+    x_packed [B, H+2, P, 128] (bf16 or int8), w_packed [768, 128]
+    (same dtype), out [B, H, W//2, 128] bf16/f32-accumulated.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = (W + WPAD2) // 2
+    PO = W // 2
+    M = tile_h * PO
+    T = H // tile_h
+    dtype = jnp.int8 if int8 else jnp.bfloat16
+    acc_t = jnp.int32 if int8 else jnp.float32
+
+    def shifted_parts(x_view):
+        """x_view [tile_h+2, P, 128] -> per-ky (aligned, shifted) pairs."""
+        if shift == "slice":
+            for ky in range(3):
+                slab = x_view[ky:ky + tile_h]
+                yield slab[:, :PO, :], x_view[ky:ky + tile_h, 1:PO + 1, :]
+        elif shift == "hoist":
+            rolled = pltpu.roll(x_view.astype(jnp.float32), P - 1, 1)
+            rolled = rolled.astype(dtype)
+            for ky in range(3):
+                yield (x_view[ky:ky + tile_h, :PO, :],
+                       rolled[ky:ky + tile_h, :PO, :])
+        else:  # v1-style per-ky roll
+            for ky in range(3):
+                base = x_view[ky:ky + tile_h].astype(jnp.float32)
+                nxt = pltpu.roll(base, P - 1, 1).astype(dtype)
+                yield (base.astype(dtype)[:, :PO, :], nxt[:, :PO, :])
+
+    def compute(x_view, w_ref, out_ref):
+        if dots == "split":
+            acc = jnp.zeros((M, 128), acc_t)
+            for ky, (a, s) in enumerate(shifted_parts(x_view)):
+                wa = w_ref[(2 * ky) * 128:(2 * ky + 1) * 128, :]
+                ws = w_ref[(2 * ky + 1) * 128:(2 * ky + 2) * 128, :]
+                acc = acc + jax.lax.dot_general(
+                    a.reshape(M, 128), wa, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_t)
+                acc = acc + jax.lax.dot_general(
+                    s.reshape(M, 128), ws, (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_t)
+        else:
+            parts = []
+            for a, s in shifted_parts(x_view):
+                parts.append(a)
+                parts.append(s)
+            cols = jnp.concatenate(parts, axis=-1).reshape(M, 768)
+            acc = jax.lax.dot_general(
+                cols, w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_t)
+        out_ref[:] = acc.reshape(1, tile_h, PO, 128).astype(out_ref.dtype)
+
+    if not db:
+        def kernel(x_hbm, w_ref, out_ref, x_vmem, sem):
+            b = pl.program_id(0)
+            h = pl.program_id(1)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(h * tile_h, tile_h + 2)], x_vmem, sem)
+            cp.start()
+            cp.wait()
+            compute(x_vmem[:], w_ref[:], out_ref)
+
+        scratch = [pltpu.VMEM((tile_h + 2, P, 128), dtype),
+                   pltpu.SemaphoreType.DMA(())]
+    else:
+        def kernel(x_hbm, w_ref, out_ref, x_vmem, sem):
+            b = pl.program_id(0)
+            h = pl.program_id(1)
+            idx = b * T + h
+
+            def get_dma(slot, j):
+                return pltpu.make_async_copy(
+                    x_hbm.at[j // T, pl.ds((j % T) * tile_h, tile_h + 2)],
+                    x_vmem.at[slot], sem.at[slot])
+
+            @pl.when(idx == 0)
+            def _():
+                get_dma(0, 0).start()
+
+            @pl.when(idx + 1 < T * pl.num_programs(0))
+            def _():
+                get_dma((idx + 1) % 2, idx + 1).start()
+
+            get_dma(idx % 2, idx).wait()
+            compute(x_vmem[idx % 2], w_ref[:], out_ref)
+
+        scratch = [pltpu.VMEM((2, tile_h + 2, P, 128), dtype),
+                   pltpu.SemaphoreType.DMA((2,))]
+
+    def conv(x_packed, w_packed):
+        B = x_packed.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((768, 128), lambda b, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_h, PO, 128),
+                                   lambda b, h: (b, h, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, H, PO, 128), jnp.bfloat16),
+            scratch_shapes=scratch,
+        )(x_packed, w_packed)
+
+    return conv
+
+
+def timeit(name, fn, sync, flops, iters=3, windows=2):
+    out = fn()
+    sync(out)
+    best = 0.0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        sync(out)
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, flops / dt)
+    print(f"{name:<52} {best/1e12:7.2f} TF/s", flush=True)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print("devices:", jax.devices(), flush=True)
+    B, H, W, C, F = 64, 128, 128, 64, 64
+    rng = np.random.RandomState(0)
+    useful = 2 * B * H * W * 9 * C * F
+
+    x64 = np.zeros((B, H + 2, W + WPAD2, C), np.float32)
+    x64[:, :, :W + 2, :] = rng.rand(B, H + 2, W + 2, C)
+    w = (rng.randn(3, 3, C, F) * 0.05).astype(np.float32)
+    xp = jnp.asarray(pack_pairs(x64), jnp.bfloat16)
+    wp_np = pack_pair_weights(w)
+    wp = jnp.asarray(wp_np, jnp.bfloat16)
+
+    dn = jax.lax.conv_dimension_numbers(
+        (B, H + 2, W + 2, C), (3, 3, C, F), ("NHWC", "HWIO", "NHWC"))
+    conv_xla = jax.jit(lambda xx, ww: jax.lax.conv_general_dilated(
+        xx, ww, (1, 1), "VALID", dimension_numbers=dn))
+    xv = jnp.asarray(x64[:, :, :W + 2, :], jnp.bfloat16)
+    w_j = jnp.asarray(w, jnp.bfloat16)
+    print("compiling XLA reference...", flush=True)
+    want = np.asarray(conv_xla(xv, w_j), np.float32)
+
+    # int8 operands: symmetric per-tensor quantization of the same data
+    xs = float(np.abs(x64).max()) / 127.0
+    ws = float(np.abs(wp_np).max()) / 127.0
+    xp_i8 = jnp.asarray(
+        np.clip(np.round(pack_pairs(x64) / xs), -127, 127), jnp.int8)
+    wp_i8 = jnp.asarray(np.clip(np.round(wp_np / ws), -127, 127), jnp.int8)
+
+    variants = [
+        ("v1-ish roll/concat th32", dict(shift="roll", dots="concat"),
+         32, False),
+        ("v2 hoist/split th32", dict(shift="hoist", dots="split"),
+         32, False),
+        ("v2 hoist/concat th32", dict(shift="hoist", dots="concat"),
+         32, False),
+        ("v2 slice/split th32", dict(shift="slice", dots="split"),
+         32, False),
+        ("v2 hoist/split th32 +db", dict(shift="hoist", dots="split",
+                                         db=True), 32, False),
+        ("v2 hoist/split th64 +db", dict(shift="hoist", dots="split",
+                                         db=True), 64, False),
+        ("v2 hoist/split th32 +db INT8", dict(shift="hoist", dots="split",
+                                              db=True, int8=True),
+         32, True),
+    ]
+    built = []
+    for name, kw, th, is_int8 in variants:
+        try:
+            fn = jax.jit(make_conv64p_v2(th, H, W, C, **kw))
+            args = (xp_i8, wp_i8) if is_int8 else (xp, wp)
+            got = np.asarray(fn(*args), np.float32).reshape(B, H, W, F)
+            if is_int8:
+                got = got * (xs * ws)
+            err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+            tol = 5e-2 if is_int8 else 2e-2
+            status = "OK" if err < tol else "WRONG"
+            print(f"{name}: rel-err {err:.2e} [{status}]", flush=True)
+            if status == "OK":
+                built.append((name, fn, args))
+        except Exception as e:  # Mosaic rejections expected for some
+            print(f"{name}: FAILED {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:140]}", flush=True)
+
+    sync1 = lambda o: np.asarray(o).ravel()[0]
+    NCHAIN = 20
+
+    def make_chain(conv_fn):
+        @jax.jit
+        def run(x_in, w_stack):
+            def body(acc, wk):
+                out = conv_fn(x_in, wk)
+                return acc + out[0, 0, 0, 0].astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), w_stack)
+            return acc
+        return run
+
+    for rep in range(2):
+        print(f"--- window {rep} (scan x{NCHAIN}) ---", flush=True)
+        for name, fn, (xa, wa) in built:
+            ws_stack = jnp.stack([wa] * NCHAIN)
+            timeit(name, functools.partial(make_chain(fn), xa, ws_stack),
+                   sync1, useful * NCHAIN)
+
+
+if __name__ == "__main__":
+    main()
