@@ -101,6 +101,15 @@ class ModelConfig:
     # v5e MXU int8 path (2x bf16 rate). Training always runs full
     # precision; checkpoints are identical either way (models/quant.py)
     quant_bits: int = 0
+    # inference-only pair-packed Pallas 3x3 conv for the 64-wide decoder
+    # and head convs (ops/pallas_conv.py). MEASURED SLOWER in the full
+    # graph (TTA 25.6 -> 49.6 ms/batch @bs64: custom-call boundaries
+    # break XLA's conv fusion/overlap — see PERF.md "Pallas conv
+    # experiment"), so the default is "off"; kept as an opt-in probe
+    # ("on", or "auto" = on when on TPU) for future libtpu stacks.
+    # Same math as the XLA conv (f32-accumulated bf16); training always
+    # uses XLA convs, checkpoints identical either way.
+    pallas_conv: str = "off"
     # scratch SaltUNet knobs (neptune.yaml:43-48)
     nr_outputs: int = 1
     n_filters: int = 16

@@ -34,7 +34,22 @@ def _salt_linknet(cfg: ModelConfig, dtype):
 
 def _conv_fn(cfg: ModelConfig):
     from salt_tpu.models.quant import make_conv_fn
-    return make_conv_fn(getattr(cfg, "quant_bits", 0))
+    inner = make_conv_fn(getattr(cfg, "quant_bits", 0))
+    mode = getattr(cfg, "pallas_conv", "off")
+    use_pallas = mode == "on"
+    if mode == "auto":
+        try:
+            import jax
+            use_pallas = jax.devices()[0].platform != "cpu"
+        except Exception:
+            use_pallas = False
+    if use_pallas:
+        # pair-packed Pallas kernel takes the eligible 3x3/64-out convs
+        # (2.1x XLA's rate at the model shape, ops/pallas_conv.py);
+        # inner (AQT int8 or exact XLA) handles the rest
+        from salt_tpu.ops.pallas_conv import make_pallas_conv_fn
+        return make_pallas_conv_fn(inner)
+    return inner
 
 
 def _unet_resnet(cfg: ModelConfig, dtype):

@@ -61,7 +61,7 @@ class SegmentationRunner:
         #   and optional AQT int8 convs (model.quant_bits=8)
         import dataclasses as _dc
         self.model = build_model(
-            _dc.replace(config.model, quant_bits=0,
+            _dc.replace(config.model, quant_bits=0, pallas_conv="off",
                         hypercolumn_impl="concat", decoder_impl="concat"),
             config.training.dtype)
         self.infer_model = build_model(config.model, config.training.dtype)
