@@ -43,7 +43,8 @@ def main(argv=None):
         "evaluate-cv", "evaluate-predict-cv",
         "empty-train", "empty-evaluate", "empty-cv",
         "empty-evaluate-cv", "empty-evaluate-predict-cv",
-        "stacking-cv", "full-solution", "serve", "verify-data"])
+        "stacking-cv", "full-solution", "serve", "verify-data",
+        "cost-analysis"])
     parser.add_argument("--workdir", default="output/full_solution",
                         help="full-solution: root dir for the "
                              "segmentation/emptiness/stacking stages")
@@ -145,6 +146,26 @@ def main(argv=None):
         for name, r in results.items():
             print(f"[{'ok' if r['ok'] else 'FAIL'}] {name}: {r['detail']}")
         return 0 if ok else 1
+
+    if args.command == "cost-analysis":
+        # what the compiler knows about the production programs: XLA's
+        # per-executable FLOP/byte cost model + memory footprint +
+        # roofline position — observability that works on backends where
+        # the jax profiler cannot (train/cost_analysis.py)
+        import json as _json
+
+        from salt_tpu.train.cost_analysis import analyze_runner, report
+        from salt_tpu.train.steps import SegmentationRunner
+        runner = SegmentationRunner(cfg)
+        analyses = analyze_runner(runner)
+        print(report(analyses))
+        out_path = cfg.paths.experiment_dir + "/cost_analysis.json"
+        import os as _os2
+        _os2.makedirs(cfg.paths.experiment_dir, exist_ok=True)
+        with open(out_path, "w") as f:
+            _json.dump(analyses, f, indent=1)
+        print(f"saved to {out_path}")
+        return 0
 
     if args.command == "prepare-metadata":
         from salt_tpu.data.metadata import generate_metadata
