@@ -78,10 +78,10 @@ def preprocess_inference_pallas(images_u8: jax.Array,
         _kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec((tile, RAW, RAW), lambda i: (i, 0, 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM)],
         out_specs=pl.BlockSpec((tile, 3, NET, NET), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 3, NET, NET), out_dtype),
         interpret=interpret,

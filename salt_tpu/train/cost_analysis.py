@@ -48,10 +48,22 @@ def analyze_program(jitted, *args) -> Dict[str, Any]:
     """Lower + compile ``jitted`` for ``args`` and return its XLA cost
     and memory analysis plus roofline-derived figures."""
     compiled = jitted.lower(*args).compile()
-    ca = compiled.cost_analysis()
+    try:
+        ca = compiled.cost_analysis()
+    except Exception:                       # backend may not expose it
+        ca = {}
     if isinstance(ca, (list, tuple)):       # older jax returns [dict]
         ca = ca[0] if ca else {}
-    mem = compiled.memory_analysis()
+    ca = ca or {}
+
+    class _NoMem:
+        argument_size_in_bytes = output_size_in_bytes = 0
+        temp_size_in_bytes = generated_code_size_in_bytes = 0
+
+    try:
+        mem = compiled.memory_analysis() or _NoMem()
+    except Exception:
+        mem = _NoMem()
     flops = float(ca.get("flops", 0.0))
     bytes_accessed = float(ca.get("bytes accessed", 0.0))
     intensity = flops / bytes_accessed if bytes_accessed else float("inf")
