@@ -89,9 +89,12 @@ def verify_metadata(meta: pd.DataFrame, sample_images: int = 8
                                                    str):
                 m = np.array(Image.open(row["file_path_mask"]))
                 vals = np.unique(to_grayscale(m))
-                if len(vals) > 2 and not (vals.min() == 0
-                                          and vals.max() <= 255):
-                    bad.append(f"{row['id']}: suspect mask values {vals[:5]}")
+                # binarize-at-128 convention (reference loaders.py:61):
+                # anything other than pure {0, 255} levels means the mask
+                # was resampled/anti-aliased and thresholding is lossy
+                if not np.isin(vals, (0, 255)).all():
+                    bad.append(f"{row['id']}: non-binary mask values "
+                               f"{vals[:5]}")
         out["images"] = _check(not bad, "; ".join(bad) if bad
                                else f"sampled {len(rows)} rows, shapes ok")
     except Exception as e:                              # decode failure

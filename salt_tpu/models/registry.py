@@ -167,10 +167,27 @@ ARCHITECTURES: Dict[str, Callable[[ModelConfig, Any], Any]] = {
 }
 
 
+_MODE_CHOICES = {
+    # string knobs are matched with == in the blocks; a typo silently
+    # falling back to the default would defeat the reference-parity
+    # modes, so validate at the single build choke point
+    "conv_pad_mode": ("same", "reference"),
+    "upsample_mode": ("half_pixel", "align_corners"),
+    "hypercolumn_impl": ("sum", "concat"),
+    "decoder_impl": ("sum", "concat"),
+    "pallas_conv": ("off", "on", "auto"),
+}
+
+
 def build_model(cfg: ModelConfig, compute_dtype: str = "float32"):
     if cfg.architecture not in ARCHITECTURES:
         raise KeyError(f"unknown architecture {cfg.architecture!r}; "
                        f"choose from {sorted(ARCHITECTURES)}")
+    for field, choices in _MODE_CHOICES.items():
+        val = getattr(cfg, field, choices[0])
+        if val not in choices:
+            raise ValueError(f"model.{field}={val!r}: expected one of "
+                             f"{choices}")
     return ARCHITECTURES[cfg.architecture](cfg, _dtype(compute_dtype))
 
 

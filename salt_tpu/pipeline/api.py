@@ -333,7 +333,8 @@ def _cv_loop(config: Config, experiment: Experiment, bundle: DataBundle,
                 runner_fp = SegmentationRunner(config.replace(
                     model=_dc.replace(config.model, quant_bits=0)))
             run_fold_int8_gate(config, experiment, name, valid_b,
-                               runner_fp=runner_fp, runner_q=runner)
+                               runner_fp=runner_fp, runner_q=runner,
+                               probs_q=probs_valid)
         fold_iou.append(iou)
         fold_iout.append(iout)
         oof_ids.extend(valid_b.meta["id"].tolist())

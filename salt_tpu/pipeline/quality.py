@@ -39,14 +39,18 @@ def file_sha256(path: str, chunk: int = 1 << 20) -> str:
 
 
 def run_fold_int8_gate(config, experiment, name: str, valid_bundle,
-                       runner_fp=None, runner_q=None) -> Dict:
+                       runner_fp=None, runner_q=None,
+                       probs_q: Optional[np.ndarray] = None) -> Dict:
     """Evaluate checkpoint ``name`` through the float and int8 predict
     paths on ``valid_bundle`` and persist the IOUT delta artifact.
-    Returns the gate dict."""
+    ``probs_q``: int8-path probabilities the caller already computed for
+    this fold (the CV loop's own validation pass) — skips the duplicate
+    int8 inference sweep. Returns the gate dict."""
     import dataclasses
     from salt_tpu.pipeline import api
 
-    if runner_q is None or runner_q.config.model.quant_bits == 0:
+    if probs_q is None and (runner_q is None
+                            or runner_q.config.model.quant_bits == 0):
         from salt_tpu.train.steps import SegmentationRunner
         runner_q = SegmentationRunner(config)
     if runner_fp is None:
@@ -57,7 +61,11 @@ def run_fold_int8_gate(config, experiment, name: str, valid_bundle,
 
     scores = {}
     for tag, runner in (("float", runner_fp), ("int8", runner_q)):
-        probs = api._predict_bundle(runner, experiment, name, valid_bundle)
+        if tag == "int8" and probs_q is not None:
+            probs = probs_q
+        else:
+            probs = api._predict_bundle(runner, experiment, name,
+                                        valid_bundle)
         y_pred = api._binarize(probs, config.postpro.threshold_masks)
         iou, iout = api.calculate_scores(list(valid_bundle.masks), y_pred)
         scores[tag] = {"iou": iou, "iout": iout}
@@ -102,8 +110,23 @@ def write_serve_provenance(out_csv: str, ckpt_paths: List[str],
         return None
     hashes = {p: file_sha256(p) for p in ckpt_paths}
     gates: List[Dict] = []
-    if checkpoint_arg and os.path.isdir(checkpoint_arg):
-        gates = load_gate_artifacts(checkpoint_arg)
+    # the gate artifacts live in the experiment dir; --checkpoint may
+    # point at the dir itself OR directly at a best.npz inside its
+    # checkpoints/ tree — walk up until artifacts appear
+    probe = checkpoint_arg
+    if probe and os.path.isfile(probe):
+        probe = os.path.dirname(probe)
+    for _ in range(4):
+        if not probe:
+            break
+        if os.path.isdir(probe):
+            gates = load_gate_artifacts(probe)
+            if gates:
+                break
+        parent = os.path.dirname(probe.rstrip(os.sep))
+        if parent == probe:
+            break
+        probe = parent
     matched = [g for g in gates
                if g.get("checkpoint_sha256") in hashes.values()]
     payload = {

@@ -164,12 +164,20 @@ def test_serve_streaming_chunks(tmp_path, cpu_config):
     cfg.model.repeat_blocks = 3
     cfg.training.dtype = "float32"
     cfg.training.batch_size_inference = 4
+    # real-image serve requires a checkpoint: persist the fresh init
+    from salt_tpu.core.experiment import Experiment
+    from salt_tpu.train.steps import SegmentationRunner
+    runner = SegmentationRunner(cfg)
+    state = runner.init_state(cfg.execution.seed)
+    ckpt = Experiment(str(tmp_path / "exp")).save_params(
+        "network", {"params": state.params,
+                    "batch_stats": state.batch_stats})
     import pandas as pd
     outs = []
     for chunk in (4, 4096):
         out_csv = str(tmp_path / f"sub_{chunk}.csv")
         probs_out = str(tmp_path / f"p_{chunk}.npz")
-        r = serve(cfg, checkpoint="", images_dir=str(img_dir),
+        r = serve(cfg, checkpoint=ckpt, images_dir=str(img_dir),
                   out_csv=out_csv, probs_out=probs_out, chunk_size=chunk)
         assert r["n"] == 12
         outs.append((pd.read_csv(out_csv, keep_default_na=False),
@@ -224,3 +232,32 @@ def test_serve_int8_cli_flag(tmp_path, cpu_config):
     diff = np.abs(got_int8.astype(np.float32) - got_f.astype(np.float32))
     assert diff.max() > 0.0, "int8 flag was a no-op (identical probs)"
     assert diff.max() < 0.15, f"int8 diverges too far: {diff.max()}"
+
+
+def test_serve_dataset_smaller_than_batch(tmp_path, cpu_config):
+    # regression: warmup used imgs[:bs] unpadded and crashed on reshape
+    # whenever n < batch_size_inference
+    cfg = cpu_config
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 3
+    cfg.training.dtype = "float32"
+    cfg.training.batch_size_inference = 8
+    out_csv = str(tmp_path / "sub_small.csv")
+    result = serve(cfg, checkpoint="", images_dir="", out_csv=out_csv,
+                   synthetic=5)
+    assert result["n"] == 5
+    import pandas as pd
+    assert len(pd.read_csv(out_csv)) == 5
+
+
+def test_serve_real_images_require_checkpoint(tmp_path, cpu_config):
+    # a forgotten --checkpoint must fail loudly, not write a random-
+    # weights submission
+    from PIL import Image
+    d = tmp_path / "imgs"
+    d.mkdir()
+    Image.fromarray(np.zeros((101, 101), np.uint8)).save(d / "a.png")
+    with pytest.raises(ValueError, match="checkpoint"):
+        serve(cpu_config, checkpoint="", images_dir=str(d),
+              out_csv=str(tmp_path / "s.csv"))

@@ -147,3 +147,19 @@ def test_trace_steps_phases(tmp_path, cpu_config):
     lines = [json.loads(l) for l in open(out)]
     assert {l["phase"] for l in lines} == set(timings)
     assert all(l["kind"] == "trace" for l in lines)
+
+
+def test_verify_data_catches_nonbinary_mask(tgs_layout, cpu_config):
+    # anti-aliased / resampled masks (values other than {0, 255}) must
+    # be flagged — the binarize-at-128 convention would silently lose
+    # label mass on them
+    from PIL import Image
+    from salt_tpu.data.verify import verify_data
+    bad = np.zeros((101, 101), np.uint8)
+    bad[:40] = 130
+    bad[40:60] = 57
+    mask_path = tgs_layout["train_dir"] / "masks" / "im002.png"
+    Image.fromarray(bad).save(mask_path)
+    res = verify_data(_cfg_for(tgs_layout, cpu_config))
+    assert not res["images"]["ok"]
+    assert "non-binary" in res["images"]["detail"]
