@@ -183,6 +183,15 @@ class ParallelConfig:
     # fold — the configuration covered by the sequential-equivalence
     # test); False keeps per-fold seeds distinct for ensemble diversity
     fold_parallel_aligned: bool = False
+    # HYBRID fold x data mesh: additionally shard each fold's batch over
+    # this many devices (grads/BN-stats pmean'd on ICI inside the fold
+    # group). 0/1 = off (one device per fold group); -1 = auto (fill the
+    # devices the fold axis leaves idle, e.g. 6 folds on 8 chips ->
+    # fold=2 x data=4). Lets a CV run use ALL chips when n_folds does
+    # not divide the device count. Per-shard aug/dropout streams are
+    # decorrelated by axis index (not sequential-identical; see
+    # steps.py make_train_step).
+    fold_parallel_data_axis: int = 0
 
 
 @dataclass

@@ -88,6 +88,29 @@ def main(n_devices: int) -> None:
         print(f"dryrun fold-parallel ok: losses={np.round(lv, 4)}, "
               f"fold mesh={fp.mesh}")
 
+    # third sharding pattern: the HYBRID fold x data mesh (fold groups
+    # spanning multiple devices, grads/BN stats pmean'd over "data")
+    if n_devices >= 4:
+        import dataclasses
+        cfg2 = dataclasses.replace(
+            cfg, parallel=dataclasses.replace(
+                cfg.parallel, fold_parallel_data_axis=n_devices // 2))
+        from salt_tpu.parallel.fold_parallel import FoldParallelRunner
+        fp2 = FoldParallelRunner(cfg2, n_folds=2)
+        states2 = fp2.init_states(0)
+        kb = max(n_devices // 2, 2)
+        fi = np.stack([images[:kb], images[kb:2 * kb]])
+        fm = np.stack([masks[:kb], masks[kb:2 * kb]])
+        fd = np.zeros((2, kb, 1), np.float32)
+        di, dm, dd = fp2.shard_fold_batch(fi, fm, fd)
+        keys = jax.random.split(rng, 2)
+        states2, losses2 = fp2.train_step(states2, di, dm, dd, keys,
+                                          np.ones((2,), bool))
+        lv2 = np.asarray(losses2)
+        assert np.isfinite(lv2).all(), f"non-finite hybrid losses {lv2}"
+        print(f"dryrun hybrid fold x data ok: losses={np.round(lv2, 4)}, "
+              f"mesh={fp2.mesh}")
+
 
 if __name__ == "__main__":   # pragma: no cover - exercised via subprocess
     import sys

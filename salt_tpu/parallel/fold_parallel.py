@@ -41,26 +41,58 @@ class FoldParallelRunner:
         self.config = config
         self.n_folds = n_folds
         all_devices = np.array(jax.devices() if devices is None else devices)
-        # fold axis spans as many devices as divide it evenly
-        n_use = 1
-        for d in range(min(n_folds, len(all_devices)), 0, -1):
-            if n_folds % d == 0:
-                n_use = d
-                break
-        self.mesh = Mesh(all_devices[:n_use], ("fold",))
+
+        def fold_span(avail: int) -> int:
+            # fold axis spans as many devices as divide n_folds evenly
+            for d in range(min(n_folds, avail), 0, -1):
+                if n_folds % d == 0:
+                    return d
+            return 1
+
+        # HYBRID fold x data mesh (parallel.fold_parallel_data_axis):
+        # each fold group spans n_data devices, the batch shards across
+        # them and grads/BN stats pmean over the "data" axis — so a CV
+        # run can use ALL chips when n_folds does not divide the device
+        # count (6 folds on 8 chips -> fold=2 x data=4 instead of 6+2
+        # idle)
+        knob = getattr(config.parallel, "fold_parallel_data_axis", 0)
+        if knob == -1:
+            # auto: maximize total devices used = fold_span(n/d) * d
+            best, n_data = 0, 1
+            for d in range(1, len(all_devices) + 1):
+                used = fold_span(len(all_devices) // d) * d
+                if used > best:
+                    best, n_data = used, d
+        else:
+            n_data = max(int(knob), 1)
+        if len(all_devices) // n_data < 1:
+            raise ValueError(
+                f"fold_parallel_data_axis={n_data} exceeds the "
+                f"{len(all_devices)} visible devices")
+        self.n_data = n_data
+        n_use = fold_span(len(all_devices) // n_data)
+        self.mesh = Mesh(
+            all_devices[:n_use * n_data].reshape(n_use, n_data),
+            ("fold", "data"))
         # the inner runner is only used for its step definitions; give it
         # a single-device mesh so its own sharding logic stays inert
         self.runner = SegmentationRunner(config,
                                          mesh=Mesh(all_devices[:1], ("data",)))
         self._fold_sharding = NamedSharding(self.mesh, P("fold"))
+        self._batch_sharding = NamedSharding(self.mesh, P("fold", "data"))
         self._compile()
 
     def _compile(self):
         inner = self.runner
         spec = P("fold")
+        bspec = P("fold", "data") if self.n_data > 1 else P("fold")
+        # data axis >1: the step decorrelates per-shard aug keys and
+        # pmeans grads/stats/loss over "data" (steps.py make_train_step);
+        # data axis ==1: the plain step, bit-identical to before
+        step_fn = inner.make_train_step("data" if self.n_data > 1 else None)
 
         def single_train(state, images_u8, masks_u8, depths, rng, active):
-            new_state, loss = inner.train_step.__wrapped__(
+            new_state, loss = step_fn(
                 state, images_u8, masks_u8, depths, rng)
             # early-stopped folds FREEZE: the old state (params, BN
             # running stats, optimizer moments) passes through verbatim,
@@ -84,15 +116,18 @@ class FoldParallelRunner:
 
         def sharded_train(state, images_u8, masks_u8, depths, rng, active):
             return jax.shard_map(
-                jax.vmap(single_train), mesh=mesh,
-                in_specs=(spec,) * 6, out_specs=(spec, spec),
+                jax.vmap(single_train,
+                         in_axes=(0, 0, 0, 0, 0, 0), out_axes=(0, 0)),
+                mesh=mesh,
+                in_specs=(spec, bspec, bspec, bspec, spec, spec),
+                out_specs=(spec, spec),
                 check_vma=False,
             )(state, images_u8, masks_u8, depths, rng, active)
 
         def sharded_predict(params, batch_stats, images_u8, depths):
             return jax.shard_map(
                 jax.vmap(single_predict), mesh=mesh,
-                in_specs=(spec,) * 4, out_specs=spec,
+                in_specs=(spec, spec, bspec, bspec), out_specs=bspec,
                 check_vma=False,
             )(params, batch_stats, images_u8, depths)
 
@@ -126,8 +161,11 @@ class FoldParallelRunner:
         return jax.device_put(stacked, self._fold_sharding)
 
     def shard_fold_batch(self, *arrays):
-        """Place [K, B, ...] host arrays fold-sharded on the mesh."""
-        return tuple(jax.device_put(a, self._fold_sharding) for a in arrays)
+        """Place [K, B, ...] host arrays on the mesh: folds over the
+        "fold" axis and (when the hybrid mesh is on) the batch dim over
+        "data"."""
+        return tuple(jax.device_put(a, self._batch_sharding)
+                     for a in arrays)
 
     def fold_state(self, states: TrainState, k: int) -> TrainState:
         """Extract fold k's state as an unstacked TrainState (for
@@ -232,6 +270,9 @@ def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
         logger.info("fold-parallel resume from epoch %d", start_epoch)
 
     bs = min(t.batch_size_train, min(d[0].shape[0] for d in fold_data))
+    if fp.n_data > 1:
+        # hybrid mesh: each fold's batch splits evenly over "data"
+        bs = max((bs // fp.n_data) * fp.n_data, fp.n_data)
     steps_per_epoch = min(d[0].shape[0] for d in fold_data) // bs
     epochs = epochs if epochs is not None else t.epochs
     base_key = jax.random.PRNGKey(seed)

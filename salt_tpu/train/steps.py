@@ -181,10 +181,23 @@ class SegmentationRunner:
                                **kwargs)
         return model.apply(variables, *args, **kwargs)
 
-    def _compile_steps(self):
+    def make_train_step(self, axis_name: Optional[str] = None):
+        """The train-step function, optionally data-parallel-aware.
+
+        ``axis_name``: when set, the step is meant to run INSIDE a
+        shard_map body whose mesh has that axis carrying a slice of the
+        batch — per-shard aug/dropout keys are decorrelated by folding
+        in the axis index, and grads / BN stats / loss are pmean'd
+        across the axis before the optimizer update. (BN variances
+        average per-shard variances — the standard cross-replica
+        approximation; the jit+GSPMD data path computes global-batch BN
+        exactly instead.) Used by the fold x data hybrid mesh
+        (parallel/fold_parallel.py)."""
         loss_fn = self.loss_fn
 
         def train_step(state: TrainState, images_u8, masks_u8, depths, rng):
+            if axis_name is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
             aug_rng, drop_rng = jax.random.split(rng)
             x, y = self._train_inputs(images_u8, masks_u8, aug_rng)
 
@@ -196,12 +209,22 @@ class SegmentationRunner:
 
             (loss, new_stats), grads = jax.value_and_grad(
                 compute_loss, has_aux=True)(state.params)
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
+                new_stats = jax.lax.pmean(new_stats, axis_name)
+                loss = jax.lax.pmean(loss, axis_name)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = jax.tree.map(lambda p, u: p + u, state.params, updates)
             return state.replace(step=state.step + 1, params=params,
                                  batch_stats=new_stats,
                                  opt_state=opt_state), loss
+
+        return train_step
+
+    def _compile_steps(self):
+        loss_fn = self.loss_fn
+        train_step = self.make_train_step()
 
         def predict_step(params, batch_stats, images_u8, depths):
             """Fused inference: preprocess -> forward -> sigmoid -> map
