@@ -72,10 +72,13 @@ class Experiment:
             key = "/".join(_path_str(p) for p in path)
             arrays[key] = np.asarray(leaf)
         path_out = self.checkpoint_path(name, tag)
-        np.savez(path_out, **arrays)
+        # atomic: a crash mid-write (or a killed TPU process, common on
+        # this relay) must never corrupt a checkpoint --resume relies on
+        _atomic_savez(path_out, compressed=False, **arrays)
         if meta is not None:
-            with open(os.path.join(self.checkpoint_dir(name), f"{tag}.json"), "w") as f:
-                json.dump(meta, f)
+            meta_path = os.path.join(self.checkpoint_dir(name),
+                                     f"{tag}.json")
+            _atomic_write_text(meta_path, json.dumps(meta))
         return path_out
 
     def load_params(self, name: str, like: Any, tag: str = "best") -> Any:
@@ -107,8 +110,8 @@ class Experiment:
         """Persist predictions keyed by image id — replaces the reference's
         joblib ``out_of_fold_{train,test}_predictions.pkl`` (main.py:901-907)."""
         path = self.output_path(name)
-        np.savez_compressed(path, ids=np.array(ids, dtype=object),
-                            images=np.asarray(images))
+        _atomic_savez(path, compressed=True, ids=np.array(ids, dtype=object),
+                      images=np.asarray(images))
         return path
 
     def load_predictions(self, name: str) -> Dict[str, np.ndarray]:
@@ -120,13 +123,28 @@ class Experiment:
 
     def save_json(self, name: str, payload: dict) -> str:
         path = os.path.join(self.directory, f"{name}.json")
-        with open(path, "w") as f:
-            json.dump(payload, f, indent=2, default=float)
+        _atomic_write_text(path, json.dumps(payload, indent=2,
+                                            default=float))
         return path
 
     def load_json(self, name: str) -> dict:
         with open(os.path.join(self.directory, f"{name}.json")) as f:
             return json.load(f)
+
+
+def _atomic_savez(path: str, compressed: bool = False, **arrays) -> None:
+    """np.savez into a sibling temp file, then os.replace (atomic on
+    POSIX) — interrupted saves leave the previous file intact."""
+    tmp = path + ".tmp.npz"
+    (np.savez_compressed if compressed else np.savez)(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
 
 
 def _path_str(p: Any) -> str:

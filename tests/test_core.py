@@ -103,3 +103,31 @@ def test_experiment_clone_and_overwrite(tmp_path):
     assert cloned.load_json("validation_results")["iout"] == 0.9
     fresh = Experiment(str(tmp_path / "dst"), overwrite=True)
     assert not os.path.exists(str(tmp_path / "dst" / "validation_results.json"))
+
+
+def test_checkpoint_writes_are_atomic(tmp_path, monkeypatch):
+    """A crash mid-save must leave the previous checkpoint intact: the
+    write goes to a temp file and lands via os.replace."""
+    import numpy as np
+    from salt_tpu.core import experiment as exp_mod
+    exp = exp_mod.Experiment(str(tmp_path / "e"))
+    tree = {"params": {"w": np.ones(4, np.float32)}}
+    path = exp.save_params("net", tree, tag="best")
+    # simulate a crash during the NEXT save: savez raises after opening
+    orig = np.savez
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash mid-write")
+
+    monkeypatch.setattr(np, "savez", boom)
+    with np.testing.assert_raises(RuntimeError):
+        exp.save_params("net", {"params": {"w": np.zeros(4, np.float32)}},
+                        tag="best")
+    monkeypatch.setattr(np, "savez", orig)
+    # the original checkpoint is unharmed and loadable
+    data = np.load(path)
+    np.testing.assert_array_equal(data["params/w"], np.ones(4, np.float32))
+    # no temp litter that could confuse checkpoint globbing
+    leftovers = [p for p in (tmp_path / "e" / "checkpoints" / "net").iterdir()
+                 if ".tmp" in p.name]
+    assert leftovers == [] or all(p.suffix == ".npz" for p in leftovers)
