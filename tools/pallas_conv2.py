@@ -230,6 +230,15 @@ def main():
         ("v2 hoist/split th32 +db INT8", dict(shift="hoist", dots="split",
                                               db=True, int8=True),
          32, True),
+        # int8 MXU prefers deep K: one [M,768]x[768,128] dot instead of
+        # 6 K=128 slices (probe whether the 182 TOP/s dot_general rate
+        # engages inside Mosaic at conv-im2col shapes)
+        ("v2 hoist/concat th32 +db INT8", dict(shift="hoist", dots="concat",
+                                               db=True, int8=True),
+         32, True),
+        ("v2 hoist/concat th64 +db INT8", dict(shift="hoist", dots="concat",
+                                               db=True, int8=True),
+         64, True),
     ]
     built = []
     for name, kw, th, is_int8 in variants:
