@@ -42,6 +42,8 @@ class Experiment:
     def __init__(self, directory: str, overwrite: bool = False,
                  clone_from: str = ""):
         self.directory = directory
+        self._ckpt_executor = None          # lazy single writer thread
+        self._ckpt_futures: Dict[tuple, Any] = {}
         if clone_from and not os.path.exists(directory):
             logger.info("cloning experiment dir from %s", clone_from)
             shutil.copytree(clone_from, directory)
@@ -60,6 +62,7 @@ class Experiment:
         return os.path.join(self.checkpoint_dir(name), f"{tag}.npz")
 
     def has_checkpoint(self, name: str, tag: str = "best") -> bool:
+        self.flush_saves()
         return os.path.exists(self.checkpoint_path(name, tag))
 
     def save_params(self, name: str, params: Any, tag: str = "best",
@@ -81,10 +84,58 @@ class Experiment:
             _atomic_write_text(meta_path, json.dumps(meta))
         return path_out
 
+    def save_params_async(self, name: str, params: Any, tag: str = "best",
+                          meta: Optional[dict] = None) -> None:
+        """Non-blocking :meth:`save_params`: snapshots the pytree with a
+        cheap ON-DEVICE copy (so the training loop's donated buffers are
+        never touched after this call returns) and writes the npz from a
+        background thread. On this environment's host link a full
+        UNetResNet34 state is 13-40 s of D2H per save, which a
+        synchronous save adds to EVERY epoch; async hides it behind the
+        next epochs' compute. A still-queued save of the same (name,
+        tag) is superseded (crash recovery only needs the newest).
+        Readers flush automatically (:meth:`load_params`,
+        :meth:`has_checkpoint` after :meth:`flush_saves`)."""
+        import concurrent.futures
+
+        import jax
+        import jax.numpy as jnp
+
+        if os.environ.get("SALT_TPU_SYNC_CKPT"):
+            self.save_params(name, params, tag=tag, meta=meta)
+            return
+
+        def snap_leaf(x):
+            if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+                return jnp.copy(x)          # on-device, enqueued, un-donated
+            return x
+
+        snap = jax.tree_util.tree_map(snap_leaf, params)
+        if self._ckpt_executor is None:
+            self._ckpt_executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt-writer")
+        prev = self._ckpt_futures.get((name, tag))
+        if prev is not None:
+            prev.cancel()                   # supersede if not yet started
+        self._ckpt_futures[(name, tag)] = self._ckpt_executor.submit(
+            self.save_params, name, snap, tag, meta)
+
+    def flush_saves(self) -> None:
+        """Block until every pending async checkpoint write has landed
+        (cancelled = superseded ones excluded); re-raise writer errors."""
+        import concurrent.futures
+        futures = list(self._ckpt_futures.values())
+        self._ckpt_futures.clear()
+        for f in futures:
+            if f.cancelled():
+                continue
+            f.result()
+
     def load_params(self, name: str, like: Any, tag: str = "best") -> Any:
         """Load params saved by :meth:`save_params`, restoring the structure
         (and dtypes) of the ``like`` pytree."""
         import jax
+        self.flush_saves()                  # async writes must land first
         data = np.load(self.checkpoint_path(name, tag))
         flat, treedef = jax.tree_util.tree_flatten_with_path(like)
         leaves = []
@@ -96,6 +147,7 @@ class Experiment:
             jax.tree_util.tree_structure(like), leaves)
 
     def load_meta(self, name: str, tag: str = "best") -> dict:
+        self.flush_saves()
         p = os.path.join(self.checkpoint_dir(name), f"{tag}.json")
         if os.path.exists(p):
             with open(p) as f:

@@ -295,7 +295,12 @@ class ModelCheckpoint(Callback):
                     or (not self.minimize and score > self.best_score)):
                 self.best_score = score
             state = ctx["state"]
-            self.experiment.save_params(
+            # async: the D2H of a full state costs 13-40 s through this
+            # environment's host link; a sync save adds that to every
+            # improving epoch (measured: the dominant cost of small-scale
+            # CV runs). save_params_async snapshots on device and writes
+            # from a background thread; readers flush first.
+            self.experiment.save_params_async(
                 self.name, {"params": state.params,
                             "batch_stats": state.batch_stats},
                 tag="best",
@@ -308,6 +313,7 @@ class ModelCheckpoint(Callback):
         # guarantee a resumable checkpoint at run end regardless of cadence
         if self.save_last and "state" in ctx:
             self._save_last(ctx)
+        self.experiment.flush_saves()
 
     def _save_last(self, ctx):
         """Crash-recovery checkpoint alongside best (the reference's
@@ -315,7 +321,7 @@ class ModelCheckpoint(Callback):
         CLONE_EXPERIMENT_DIR_FROM, main.py:38-51). Includes the full
         optimizer state so --resume continues exactly."""
         state = ctx["state"]
-        self.experiment.save_params(
+        self.experiment.save_params_async(
             self.name, {"params": state.params,
                         "batch_stats": state.batch_stats,
                         "opt_state": state.opt_state,

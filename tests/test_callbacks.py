@@ -134,6 +134,13 @@ def test_model_checkpoint_best_and_last_semantics():
         def save_params(self, name, tree, tag="best", meta=None):
             self.saves.append((tag, dict(meta or {})))
 
+        # the production callback saves asynchronously; order/semantics
+        # under test are identical
+        save_params_async = save_params
+
+        def flush_saves(self):
+            pass
+
     class FakeState:
         params = {}
         batch_stats = {}

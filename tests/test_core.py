@@ -131,3 +131,35 @@ def test_checkpoint_writes_are_atomic(tmp_path, monkeypatch):
     leftovers = [p for p in (tmp_path / "e" / "checkpoints" / "net").iterdir()
                  if ".tmp" in p.name]
     assert leftovers == [] or all(p.suffix == ".npz" for p in leftovers)
+
+
+def test_async_checkpoint_save_and_supersede(tmp_path):
+    """save_params_async: a reader (load_params/has_checkpoint) always
+    sees the NEWEST submitted state; queued stale writes may be
+    superseded."""
+    import numpy as np
+    import jax.numpy as jnp
+    from salt_tpu.core.experiment import Experiment
+    exp = Experiment(str(tmp_path / "e"))
+    for i in range(5):
+        exp.save_params_async(
+            "net", {"params": {"w": jnp.full((4,), float(i))}}, tag="last",
+            meta={"epoch": i})
+    assert exp.has_checkpoint("net", tag="last")   # flushes
+    got = exp.load_params("net", {"params": {"w": np.zeros(4, np.float32)}},
+                          tag="last")
+    np.testing.assert_array_equal(got["params"]["w"],
+                                  np.full(4, 4.0, np.float32))
+    assert exp.load_meta("net", tag="last")["epoch"] == 4
+
+
+def test_async_checkpoint_sync_kill_switch(tmp_path, monkeypatch):
+    import numpy as np
+    from salt_tpu.core.experiment import Experiment
+    monkeypatch.setenv("SALT_TPU_SYNC_CKPT", "1")
+    exp = Experiment(str(tmp_path / "e"))
+    exp.save_params_async("net", {"params": {"w": np.ones(2, np.float32)}},
+                          tag="best")
+    # synchronous: visible immediately without flush
+    import os
+    assert os.path.exists(exp.checkpoint_path("net", "best"))
