@@ -67,6 +67,12 @@ def main(argv=None):
                         help="run on N generated synthetic images instead "
                              "of reading the data dirs")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--stacking-epochs", type=int, default=None,
+                        help="epoch budget for the stacking second level "
+                             "only (default: inherit --epochs; the "
+                             "reference trains its second level to "
+                             "plateau, so a short first-level --epochs "
+                             "starves the StackingFCN head)")
     parser.add_argument("--set", action="append", default=[],
                         metavar="SECTION.FIELD=VALUE",
                         help="config overrides, e.g. "
@@ -128,6 +134,8 @@ def main(argv=None):
         cfg.execution.resume = True
     if args.epochs is not None:
         cfg.training.epochs = args.epochs
+    if args.stacking_epochs is not None:
+        cfg.training.stacking_epochs = args.stacking_epochs
 
     if args.command == "serve":
         from salt_tpu.pipeline.serving import serve

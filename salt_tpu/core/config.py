@@ -130,6 +130,12 @@ class TrainingConfig:
     # reference: neptune.yaml:52-74
     loss: str = "lovasz"                  # 'lovasz' | 'bce' | 'dice' | 'mixed_dice_bce' | 'mixed_dice_ce'
     epochs: int = 10000
+    # Epoch budget for the stacking second level only (None = inherit
+    # ``epochs``). The reference trains its SECOND_LEVEL to plateau
+    # (neptune.yaml epochs_nr=10000 + patience); when a short --epochs
+    # is used for the first level, the tiny StackingFCN head needs far
+    # more steps at lr 1e-4 to converge — this knob decouples the two.
+    stacking_epochs: Optional[int] = None
     batch_size_train: int = 24
     batch_size_inference: int = 24
     lr: float = 1e-4

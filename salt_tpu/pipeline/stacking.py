@@ -76,6 +76,12 @@ def train_evaluate_stacking(config: Config, experiment: Experiment,
                               if config.execution.use_depth
                               else "StackingFCN")
     cfg.model.input_model_nr = cube.shape[-1]
+    # The tiny FCN head needs many more steps at lr 1e-4 than the
+    # first level (reference trains SECOND_LEVEL to plateau with
+    # epochs_nr=10000 + patience): honour the dedicated budget knob so
+    # a short first-level --epochs does not starve the second level.
+    if cfg.training.stacking_epochs is not None:
+        cfg.training.epochs = cfg.training.stacking_epochs
     runner = StackingRunner(cfg)
 
     cv = KFoldBySortedValue(n_splits=cfg.execution.n_cv_splits)

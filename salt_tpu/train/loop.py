@@ -124,6 +124,13 @@ def fit(runner: SegmentationRunner,
 
     for epoch_id in range(start_epoch, epochs):
         ctx["epoch_id"] = epoch_id
+        # drop the previous pass's metrics so plateau/early-stop/checkpoint
+        # callbacks only ever see FRESH validation results: with
+        # validate_every_n_epochs > 1 a stale ctx["validation"] would count
+        # every in-between epoch as "no improvement" and burn patience
+        # validate_every times faster (observed: patience-8/every-5 stacking
+        # runs stopping at epoch 9 instead of >=40).
+        ctx.pop("validation", None)
         callbacks.on_epoch_begin(ctx)
         epoch_losses = []
 

@@ -80,6 +80,41 @@ def test_join_experiment_predictions(tmp_path):
                                     if i in set(got_ids)]
 
 
+def test_stacking_epochs_budget_knob(tmp_path):
+    """training.stacking_epochs decouples the second-level budget from
+    the first-level --epochs (the reference trains SECOND_LEVEL to
+    plateau with epochs_nr=10000; a short shared budget starves the
+    StackingFCN head at lr 1e-4)."""
+    from salt_tpu.pipeline.stacking import train_evaluate_stacking
+    from salt_tpu.train import loop as loop_mod
+
+    cfg = default_config()
+    cfg.training.dtype = "float32"
+    cfg.training.epochs = 1               # first-level-style short budget
+    cfg.training.stacking_epochs = 3      # dedicated second-level budget
+    cfg.training.batch_size_train = 8
+    cfg.training.batch_size_inference = 8
+    cfg.execution.n_cv_splits = 2
+
+    seen = []
+    real_fit = loop_mod.fit
+
+    def spy_fit(runner, *a, **kw):
+        seen.append(runner.config.training.epochs)
+        return real_fit(runner, *a, **kw)
+
+    loop_mod.fit = spy_fit
+    try:
+        bundle = synthetic_bundle(16, seed=7)
+        cube = bundle.masks.astype(np.float32)[..., None]
+        exp = Experiment(str(tmp_path / "stack"))
+        scores = train_evaluate_stacking(cfg, exp, bundle, cube)
+    finally:
+        loop_mod.fit = real_fit
+    assert seen == [3, 3]                 # one fit per fold, budget honoured
+    assert np.isfinite(scores["iout_mean"])
+
+
 def test_stacking_runner_shapes():
     from salt_tpu.train.stacking import StackingRunner
     import jax

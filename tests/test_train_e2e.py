@@ -100,3 +100,35 @@ def test_cv_loop_produces_oof_and_submission(tmp_path):
     # per-fold checkpoints exist
     assert experiment.has_checkpoint("network_fold_0")
     assert experiment.has_checkpoint("network_fold_1")
+
+
+def test_sparse_validation_does_not_burn_patience(monkeypatch):
+    """Regression: with validate_every_n_epochs > 1, epochs BETWEEN
+    validation passes must not feed the previous (stale) metrics into
+    EarlyStopping/plateau — that counted every in-between epoch as
+    "no improvement" and stopped patience-8/every-5 runs at epoch 9
+    instead of >= 40 (observed on the stacking second level)."""
+    from salt_tpu.train import loop as loop_mod
+    from salt_tpu.train.callbacks import EarlyStopping
+
+    cfg = _tiny_config()
+    cfg.training.validate_every_n_epochs = 3
+    bundle = synthetic_bundle(32, seed=9)
+    runner = SegmentationRunner(cfg)
+
+    val_epochs = []
+
+    def fake_validate(runner, state, *a, **kw):
+        return {"sum": 1.0, "iou": 0.5, "iout": 0.5, "threshold": 0.5}
+
+    monkeypatch.setattr(loop_mod, "validate", fake_validate)
+    stopper = EarlyStopping("iout", patience=1, minimize=False)
+    state, hist = fit(runner, (bundle.images[:16], bundle.masks[:16], None),
+                      (bundle.images[16:], bundle.masks[16:], None),
+                      callbacks=CallbackList([stopper]), epochs=20)
+    # validations at epochs 0 (best), 3 (miss 1), 6 (miss 2 > patience):
+    # stop at epoch 6. Stale-metrics bug stopped at epoch 2.
+    assert len(hist) == 7, [h["epoch"] for h in hist]
+    # and the recorded history carries val metrics ONLY on fresh passes
+    with_val = [h["epoch"] for h in hist if "val_iout" in h]
+    assert with_val == [0, 3, 6]
