@@ -82,6 +82,8 @@ def train_evaluate_stacking(config: Config, experiment: Experiment,
     # a short first-level --epochs does not starve the second level.
     if cfg.training.stacking_epochs is not None:
         cfg.training.epochs = cfg.training.stacking_epochs
+    if cfg.training.stacking_lr is not None:
+        cfg.training.lr = cfg.training.stacking_lr
     runner = StackingRunner(cfg)
 
     cv = KFoldBySortedValue(n_splits=cfg.execution.n_cv_splits)

@@ -92,6 +92,7 @@ def test_stacking_epochs_budget_knob(tmp_path):
     cfg.training.dtype = "float32"
     cfg.training.epochs = 1               # first-level-style short budget
     cfg.training.stacking_epochs = 3      # dedicated second-level budget
+    cfg.training.stacking_lr = 1e-3       # dedicated second-level lr
     cfg.training.batch_size_train = 8
     cfg.training.batch_size_inference = 8
     cfg.execution.n_cv_splits = 2
@@ -100,7 +101,8 @@ def test_stacking_epochs_budget_knob(tmp_path):
     real_fit = loop_mod.fit
 
     def spy_fit(runner, *a, **kw):
-        seen.append(runner.config.training.epochs)
+        seen.append((runner.config.training.epochs,
+                     runner.config.training.lr))
         return real_fit(runner, *a, **kw)
 
     loop_mod.fit = spy_fit
@@ -111,7 +113,7 @@ def test_stacking_epochs_budget_knob(tmp_path):
         scores = train_evaluate_stacking(cfg, exp, bundle, cube)
     finally:
         loop_mod.fit = real_fit
-    assert seen == [3, 3]                 # one fit per fold, budget honoured
+    assert seen == [(3, 1e-3)] * 2        # one fit per fold, budget + lr honoured
     assert np.isfinite(scores["iout_mean"])
 
 
