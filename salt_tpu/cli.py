@@ -24,12 +24,14 @@ def _build_experiment(cfg: Config) -> Experiment:
                       clone_from=cfg.execution.clone_experiment_dir_from)
 
 
-def _bundles(cfg: Config, synthetic: int):
+def _bundles(cfg: Config, synthetic: int, difficulty: str = "easy"):
     if synthetic:
         from salt_tpu.data.bundle import synthetic_bundle
-        train = synthetic_bundle(synthetic, seed=cfg.execution.seed)
+        train = synthetic_bundle(synthetic, seed=cfg.execution.seed,
+                                 difficulty=difficulty)
         test = synthetic_bundle(max(synthetic // 4, 8),
-                                seed=cfg.execution.seed + 1, with_masks=False)
+                                seed=cfg.execution.seed + 1, with_masks=False,
+                                difficulty=difficulty)
         return train, test
     from salt_tpu.data.bundle import train_test_bundles
     return train_test_bundles(cfg)
@@ -66,6 +68,12 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="run on N generated synthetic images instead "
                              "of reading the data dirs")
+    parser.add_argument("--synthetic-difficulty", default="easy",
+                        choices=["easy", "hard"],
+                        help="'hard' generates the TGS-lookalike task "
+                             "(folded strata, irregular/half-space salt, "
+                             "texture signal, depth-correlated salt "
+                             "probability) used for quality-evidence runs")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--stacking-epochs", type=int, default=None,
                         help="epoch budget for the stacking second level "
@@ -193,7 +201,8 @@ def main(argv=None):
 
     from salt_tpu.pipeline import api
     experiment = _build_experiment(cfg)
-    train_b, test_b = _bundles(cfg, args.synthetic)
+    train_b, test_b = _bundles(cfg, args.synthetic,
+                               args.synthetic_difficulty)
 
     profiling = False
     if args.profile:

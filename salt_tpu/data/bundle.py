@@ -119,10 +119,12 @@ def train_test_bundles(config: Config, meta: Optional[pd.DataFrame] = None):
 
 
 def synthetic_bundle(n: int = 64, seed: int = 0,
-                     with_masks: bool = True) -> DataBundle:
+                     with_masks: bool = True,
+                     difficulty: str = "easy") -> DataBundle:
     """In-memory synthetic bundle for tests/benches."""
     from salt_tpu.data.synthetic import synthetic_arrays, synthetic_metadata
-    images, masks, depths = synthetic_arrays(n, seed=seed)
+    images, masks, depths = synthetic_arrays(n, seed=seed,
+                                             difficulty=difficulty)
     meta = synthetic_metadata(images, masks, depths)
     return DataBundle(meta=meta, images=images,
                       masks=masks if with_masks else None,
