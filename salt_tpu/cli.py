@@ -271,7 +271,7 @@ def main(argv=None):
         results = run_full_solution(cfg, args.workdir, train_b, test_b,
                                     use_stacking=not args.no_stacking)
         print({k: results[k] for k in
-               ("segmentation", "emptiness", "stacking")})
+               ("segmentation", "emptiness", "stacking", "gating")})
         print(f"final gated submission -> {results['submission_path']}")
     elif args.command == "stacking-cv":
         from salt_tpu.pipeline import stacking

@@ -51,6 +51,33 @@ def gated_submission(seg_exp: Experiment, emp_exp: Experiment,
     return submission
 
 
+def oof_gated_scores(seg_exp: Experiment, emp_exp: Experiment,
+                     train_b: DataBundle, threshold: float) -> Dict:
+    """Score the two-stage gating on the out-of-fold TRAIN predictions
+    (where ground truth exists), so the gating stage's contribution is a
+    measured delta rather than a claim. Returns ungated vs gated
+    (iou, iout) over the whole oof set (the reference never measures
+    this — its gating value is only visible on the Kaggle LB)."""
+    from salt_tpu.pipeline.api import calculate_scores
+    seg = seg_exp.load_predictions("out_of_fold_train_predictions")
+    emp = emp_exp.load_predictions("emptiness_oof_train_predictions")
+    emp_by_id = {i: p[1] for i, p in zip(emp["ids"], emp["images"])}
+    id_to_mask = {i: m for i, m in zip(train_b.meta["id"].tolist(),
+                                       train_b.masks)}
+    ids = [i for i in seg["ids"] if i in id_to_mask]
+    probs = np.asarray([p for i, p in zip(seg["ids"], seg["images"])
+                        if i in id_to_mask])
+    y_true = [id_to_mask[i] for i in ids]
+    ungated_pred = [(p[1] > threshold).astype(np.uint8) for p in probs]
+    gate = np.array([emp_by_id.get(i, 1.0) for i in ids])
+    gated = emptiness.apply_emptiness_gating(probs, gate, threshold)
+    gated_pred = [(p[1] > threshold).astype(np.uint8) for p in gated]
+    u_iou, u_iout = calculate_scores(y_true, ungated_pred)
+    g_iou, g_iout = calculate_scores(y_true, gated_pred)
+    return {"ungated": {"iou": u_iou, "iout": u_iout},
+            "gated": {"iou": g_iou, "iout": g_iout}}
+
+
 def run_full_solution(cfg: Config, workdir: str, train_b: DataBundle,
                       test_b: DataBundle,
                       use_stacking: bool = True) -> Dict:
@@ -88,9 +115,18 @@ def run_full_solution(cfg: Config, workdir: str, train_b: DataBundle,
             stack_cfg, stack_exp, bundle_aligned, cube, t_cube, test_aligned)
         logger.info("stacking CV: %s", stack_scores)
 
-    # ---- stage 4: gated final submission
+    # ---- stage 4: gated final submission + measured oof gating delta
+    gating_scores = None
+    if train_b.masks is not None:
+        gating_scores = oof_gated_scores(seg_exp, emp_exp, train_b,
+                                         cfg.postpro.threshold_masks)
+        logger.info("oof gating delta: %s", gating_scores)
+        import json
+        with open(os.path.join(workdir, "gating_scores.json"), "w") as f:
+            json.dump(gating_scores, f, indent=2, default=float)
     out_path = os.path.join(workdir, "final_submission.csv")
     gated_submission(seg_exp, emp_exp, cfg.postpro.threshold_masks, out_path)
 
     return {"segmentation": seg_scores, "emptiness": emp_scores,
-            "stacking": stack_scores, "submission_path": out_path}
+            "stacking": stack_scores, "gating": gating_scores,
+            "submission_path": out_path}

@@ -82,3 +82,23 @@ def test_emptiness_evaluate_predict_cv(solution_dirs):
     assert np.allclose(scores["fold_auc"], trained["fold_auc"], atol=1e-6)
     reloaded = exp.load_predictions("emptiness_oof_test_predictions")
     assert len(reloaded["ids"]) == 8
+
+
+def test_oof_gating_delta_is_measured(solution_dirs):
+    """run_full_solution now scores ungated-vs-gated IOUT on the oof
+    TRAIN predictions (where ground truth exists) — the gating stage's
+    value is a measured number, not a claim."""
+    from salt_tpu.core.config import default_config
+    from salt_tpu.core.experiment import Experiment
+    from salt_tpu.data.bundle import synthetic_bundle
+    from salt_tpu.pipeline.full_solution import oof_gated_scores
+
+    cfg = default_config()
+    train_b = synthetic_bundle(32, seed=cfg.execution.seed)
+    w = solution_dirs
+    scores = oof_gated_scores(
+        Experiment(f"{w}/segmentation", overwrite=False),
+        Experiment(f"{w}/emptiness", overwrite=False), train_b, 0.5)
+    for kind in ("ungated", "gated"):
+        assert 0.0 <= scores[kind]["iou"] <= 1.0
+        assert 0.0 <= scores[kind]["iout"] <= 1.0
