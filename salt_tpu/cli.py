@@ -46,7 +46,7 @@ def main(argv=None):
         "empty-train", "empty-evaluate", "empty-cv",
         "empty-evaluate-cv", "empty-evaluate-predict-cv",
         "stacking-cv", "full-solution", "serve", "verify-data",
-        "cost-analysis"])
+        "cost-analysis", "analyze"])
     parser.add_argument("--workdir", default="output/full_solution",
                         help="full-solution: root dir for the "
                              "segmentation/emptiness/stacking stages")
@@ -235,6 +235,18 @@ def main(argv=None):
             out_path=experiment.directory + "/channels_trace.jsonl")
         print("trace-steps (ms/step):",
               {k: round(v, 2) for k, v in timings.items()})
+
+    if args.command == "analyze":
+        # the reference's result_exploration notebook as a command:
+        # score-by-mask-size / empty confusion / threshold sensitivity
+        # over the persisted oof or validation predictions (numpy-only,
+        # never claims a device)
+        from salt_tpu.pipeline.analysis import (analyze_experiment,
+                                                format_report)
+        report = analyze_experiment(experiment, train_b,
+                                    cfg.postpro.threshold_masks)
+        print(format_report(report))
+        return 0
 
     if args.command == "train":
         api.train(cfg, experiment, train_b)

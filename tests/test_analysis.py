@@ -1,0 +1,90 @@
+"""`analyze` command — the reference's result_exploration notebook as a
+first-class error-analysis report (pipeline/analysis.py)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from salt_tpu.core.config import default_config
+from salt_tpu.core.experiment import Experiment
+from salt_tpu.data.bundle import synthetic_bundle
+from salt_tpu.pipeline.analysis import (analyze_experiment,
+                                        analyze_predictions, format_report)
+
+
+@pytest.fixture()
+def bundle():
+    return synthetic_bundle(24, seed=1234)
+
+
+def _probs_from_gt(masks, fg_prob=0.9, bg_prob=0.1):
+    fg = np.where(masks > 0, fg_prob, bg_prob).astype(np.float32)
+    return np.stack([1.0 - fg, fg], axis=1)   # [N,2,101,101]
+
+
+def test_near_perfect_predictions_score_high(bundle):
+    probs = _probs_from_gt(bundle.masks)
+    rep = analyze_predictions(bundle.meta["id"].tolist(), probs, bundle)
+    assert rep["overall"]["iout"] > 0.99
+    assert rep["overall"]["iou"] > 0.99
+    # every gt-empty image predicted empty, none predicted salt
+    assert rep["empty_confusion"]["gt_empty_pred_salt"] == 0
+    assert rep["empty_confusion"]["gt_salt_pred_empty"] == 0
+    # bucket counts cover the whole set
+    assert sum(b["n"] for b in rep["by_size"].values()) == rep["n_images"]
+    # threshold curve spans the sweep and is perfect everywhere here
+    assert len(rep["threshold_curve"]) == 9
+
+
+def test_empty_confusion_counts_wrong_empties(bundle):
+    probs = _probs_from_gt(bundle.masks)
+    # ruin the predictions of every non-empty image -> predicted empty
+    sizes = bundle.masks.reshape(len(bundle.masks), -1).sum(axis=1)
+    probs[sizes > 0, 1] = 0.0
+    probs[sizes > 0, 0] = 1.0
+    rep = analyze_predictions(bundle.meta["id"].tolist(), probs, bundle)
+    n_salt = int((sizes > 0).sum())
+    assert rep["empty_confusion"]["gt_salt_pred_empty"] == n_salt
+    # gt-vs-empty-pred scores 0 per reference edge case (metrics.py:25-28)
+    assert all(rep["by_size"][k]["iout"] == 0.0
+               for k in rep["by_size"] if k != "empty")
+
+
+def test_analyze_experiment_picks_artifact_and_persists(tmp_path, bundle):
+    exp = Experiment(str(tmp_path / "exp"))
+    probs = _probs_from_gt(bundle.masks)
+    exp.save_predictions("validation_predictions",
+                         bundle.meta["id"].tolist(), probs)
+    rep = analyze_experiment(exp, bundle)
+    assert rep["source"] == "validation_predictions"
+    saved = json.load(open(os.path.join(exp.directory, "analysis.json")))
+    assert saved["overall"]["iout"] == pytest.approx(rep["overall"]["iout"])
+    # oof artifact wins over validation when both exist
+    exp.save_predictions("out_of_fold_train_predictions",
+                         bundle.meta["id"].tolist(), probs)
+    assert analyze_experiment(exp, bundle)["source"] == \
+        "out_of_fold_train_predictions"
+    txt = format_report(rep)
+    assert "overall" in txt and "empty-image confusion" in txt
+
+
+def test_analyze_missing_artifact_raises(tmp_path, bundle):
+    with pytest.raises(FileNotFoundError):
+        analyze_experiment(Experiment(str(tmp_path / "none")), bundle)
+
+
+def test_cli_analyze(tmp_path, bundle, capsys):
+    os.environ["SALT_TPU_PLATFORM"] = "cpu"
+    from salt_tpu import cli
+    exp_dir = str(tmp_path / "exp")
+    exp = Experiment(exp_dir)
+    cfg = default_config()
+    probs = _probs_from_gt(bundle.masks)
+    exp.save_predictions("validation_predictions",
+                         bundle.meta["id"].tolist(), probs)
+    rc = cli.main(["analyze", "--synthetic", "24",
+                   "--set", f"paths.experiment_dir={exp_dir}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "iout=" in out and "by gt mask size" in out
