@@ -46,7 +46,7 @@ def main(argv=None):
         "empty-train", "empty-evaluate", "empty-cv",
         "empty-evaluate-cv", "empty-evaluate-predict-cv",
         "stacking-cv", "full-solution", "serve", "verify-data",
-        "cost-analysis", "analyze"])
+        "cost-analysis", "analyze", "ensemble"])
     parser.add_argument("--workdir", default="output/full_solution",
                         help="full-solution: root dir for the "
                              "segmentation/emptiness/stacking stages")
@@ -90,6 +90,15 @@ def main(argv=None):
                         metavar="SECTION.FIELD=VALUE",
                         help="config overrides, e.g. "
                              "--set model.architecture=PSPNet")
+    parser.add_argument("--experiments", nargs="*", default=[],
+                        metavar="DIR",
+                        help="ensemble: experiment dirs whose persisted "
+                             "test predictions are averaged")
+    parser.add_argument("--weights", nargs="*", type=float, default=None,
+                        help="ensemble: per-experiment weights "
+                             "(default: uniform)")
+    parser.add_argument("--ensemble-method", default="mean",
+                        choices=["mean", "gmean"])
     parser.add_argument("--checkpoint", default="",
                         help="serve: best.npz file, experiment dir, or CV "
                              "experiment dir (fold checkpoints ensembled)")
@@ -159,6 +168,25 @@ def main(argv=None):
         cfg.postpro.use_tta = not args.no_tta
         print(serve(cfg, args.checkpoint, args.images_dir, args.out,
                     args.probs_out, synthetic=args.synthetic))
+        return 0
+
+    if args.command == "ensemble":
+        # prediction_average notebook parity: average N experiments'
+        # persisted test probabilities into one submission (+ measured
+        # oof CV gain when ground truth is reachable)
+        from salt_tpu.pipeline.ensemble import ensemble_experiments
+        if not args.experiments:
+            parser.error("ensemble requires --experiments DIR [DIR ...]")
+        train_b = None
+        try:
+            train_b, _ = _bundles(cfg, args.synthetic,
+                                  args.synthetic_difficulty)
+        except Exception as e:   # scoring is optional; submission is not
+            print(f"oof scoring skipped (no ground truth reachable: {e})")
+        print(ensemble_experiments(
+            args.experiments, args.out,
+            train_b, weights=args.weights, method=args.ensemble_method,
+            threshold=cfg.postpro.threshold_masks))
         return 0
 
     if args.command == "verify-data":
