@@ -128,7 +128,7 @@ class ModelConfig:
 @dataclass
 class TrainingConfig:
     # reference: neptune.yaml:52-74
-    loss: str = "lovasz"                  # 'lovasz' | 'bce' | 'dice' | 'mixed_dice_bce' | 'mixed_dice_ce'
+    loss: str = "lovasz"                  # 'lovasz' | 'lovasz_size_weighted' | 'bce' | 'dice' | 'mixed_dice_bce' | 'mixed_dice_ce' | 'focal' | 'focal_weighted'
     epochs: int = 10000
     # Epoch budget for the stacking second level only (None = inherit
     # ``epochs``). The reference trains its SECOND_LEVEL to plateau

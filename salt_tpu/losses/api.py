@@ -10,6 +10,7 @@ import jax
 from salt_tpu.losses.dice import (mixed_dice_bce_loss,
                                   mixed_dice_cross_entropy_loss,
                                   multiclass_dice_loss)
+from salt_tpu.losses.focal import weighted_focal_loss
 from salt_tpu.losses.lovasz import lovasz_hinge, stable_bce_with_logits
 
 LossFn = Callable[[jax.Array, jax.Array], jax.Array]
@@ -28,6 +29,11 @@ def get_loss_fn(name: str) -> LossFn:
                                                       activation="sigmoid"),
         "mixed_dice_bce": mixed_dice_bce_loss,
         "mixed_dice_ce": mixed_dice_cross_entropy_loss,
+        # the weighted_focal_loss notebook's knobs (losses/focal.py):
+        # plain focal, and the notebook's default size+border weighting
+        "focal": weighted_focal_loss,
+        "focal_weighted": lambda out, tgt: weighted_focal_loss(
+            out, tgt, use_size_weight=True, use_border_weight=True),
     }
     if name not in losses:
         raise KeyError(f"unknown loss {name!r}; choose from {sorted(losses)}")

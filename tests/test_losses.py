@@ -137,3 +137,105 @@ def test_size_weighted_lovasz_registered_and_differs(rng):
     g = jax.grad(lambda x: get_loss_fn("lovasz_size_weighted")(x, target))(
         logits)
     assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------------------------------------------------------------------
+# weighted focal loss (losses/focal.py — weighted_focal_loss notebook spec)
+# ---------------------------------------------------------------------------
+
+def _focal_inputs(rng, b=2, h=16, w=16):
+    logits = jnp.asarray(rng.randn(b, h, w, 2).astype(np.float32))
+    fg = (rng.rand(b, h, w) > 0.6).astype(np.float32)
+    tgt = jnp.asarray(np.stack([1.0 - fg, fg], axis=-1))
+    return logits, tgt
+
+
+def test_focal_gamma0_equals_bce(rng):
+    from salt_tpu.losses.focal import weighted_focal_loss
+    logits, tgt = _focal_inputs(rng)
+    focal = float(weighted_focal_loss(logits, tgt, alpha=1.0, gamma=0.0))
+    bce = float(stable_bce_with_logits(logits, tgt))
+    assert focal == pytest.approx(bce, rel=1e-6)
+
+
+def test_focal_downweights_easy_pixels():
+    from salt_tpu.losses.focal import weighted_focal_loss
+    easy = jnp.full((1, 4, 4, 1), 6.0)     # confidently correct
+    hard = jnp.full((1, 4, 4, 1), -6.0)    # confidently wrong
+    tgt = jnp.ones((1, 4, 4, 1))
+    l_easy = float(weighted_focal_loss(easy, tgt, gamma=2.0))
+    l_easy0 = float(weighted_focal_loss(easy, tgt, gamma=0.0))
+    l_hard = float(weighted_focal_loss(hard, tgt, gamma=2.0))
+    l_hard0 = float(weighted_focal_loss(hard, tgt, gamma=0.0))
+    # gamma crushes the easy loss by (1-p_t)^2 but barely touches hard
+    assert l_easy < 1e-4 * l_easy0
+    assert l_hard > 0.9 * l_hard0
+    # hard cutoff zeroes already-classified pixels entirely
+    assert float(weighted_focal_loss(easy, tgt, gamma=0.0,
+                                     focus_threshold=0.1)) == 0.0
+
+
+def test_focal_size_weight_upweights_small_masks(rng):
+    """Errors on a small mask's fg are amplified (vs the unweighted
+    loss) far more than the same errors on a large mask — the notebook's
+    inverse-size lever. (A uniform-error image is weight-invariant under
+    the weighted-mean normalization, so the property to pin is the
+    amplification ratio, not absolute loss.)"""
+    from salt_tpu.losses.focal import weighted_focal_loss
+
+    def amplification(n_fg):
+        fg = np.zeros((1, 16, 16), np.float32)
+        fg.reshape(1, -1)[0, :n_fg] = 1.0
+        tgt = jnp.asarray(np.stack([1.0 - fg, fg], axis=-1))
+        # fg-channel wrong at fg pixels; everything else confidently right
+        ch0 = np.where(fg > 0, -3.0, 3.0)        # always correct
+        ch1 = np.full_like(fg, -3.0)             # wrong exactly on fg
+        logits = jnp.asarray(np.stack([ch0, ch1], axis=-1)
+                             .astype(np.float32))
+        kw = dict(gamma=0.0, max_weight=100.0)
+        weighted = float(weighted_focal_loss(logits, tgt,
+                                             use_size_weight=True, **kw))
+        plain = float(weighted_focal_loss(logits, tgt, **kw))
+        return weighted / plain
+
+    assert amplification(4) > 10.0 * amplification(200)
+    assert amplification(200) > 0.9   # near-full masks barely change
+
+
+def test_focal_border_band_geometry():
+    from salt_tpu.losses.focal import _boundary_band
+    fg = np.zeros((1, 32, 32), np.float32)
+    fg[0, 8:24, 8:24] = 1.0
+    band = np.asarray(_boundary_band(jnp.asarray(fg), border_size=2))
+    assert band[0, 8, 8] == 1.0       # mask corner: in the band
+    assert band[0, 16, 16] == 0.0     # deep interior: out
+    assert band[0, 0, 0] == 0.0       # far background: out
+    assert band[0, 6, 16] == 1.0      # 2 px outside the edge: in
+
+
+def test_focal_border_weight_targets_boundary_errors():
+    from salt_tpu.losses.focal import weighted_focal_loss
+    fg = np.zeros((1, 32, 32), np.float32)
+    fg[0, 8:24, 8:24] = 1.0
+    tgt = jnp.asarray(np.stack([1.0 - fg, fg], axis=-1))
+    correct = np.where(np.stack([1.0 - fg, fg], axis=-1) > 0, 6.0, -6.0)
+
+    boundary_err = correct.copy()
+    boundary_err[0, 8:10, 8:24] = -boundary_err[0, 8:10, 8:24]
+    interior_err = correct.copy()
+    interior_err[0, 15:17, 8:24] = -interior_err[0, 15:17, 8:24]
+    kw = dict(gamma=0.0, use_border_weight=True, border_size=2,
+              border_weight=10.0)
+    l_b = float(weighted_focal_loss(jnp.asarray(boundary_err), tgt, **kw))
+    l_i = float(weighted_focal_loss(jnp.asarray(interior_err), tgt, **kw))
+    assert l_b > 2.0 * l_i
+
+
+def test_focal_registered_jittable_grads_finite(rng):
+    logits, tgt = _focal_inputs(rng)
+    for name in ["focal", "focal_weighted"]:
+        fn = get_loss_fn(name)
+        v, g = jax.jit(jax.value_and_grad(
+            lambda lg: fn(lg, tgt)))(logits)
+        assert np.isfinite(float(v))
+        assert np.all(np.isfinite(np.asarray(g)))
