@@ -227,6 +227,23 @@ def main(argv=None):
         print(f"metadata saved to {cfg.paths.metadata_filepath}")
         return 0
 
+    if args.command == "analyze":
+        # the reference's result_exploration notebook as a command:
+        # score-by-mask-size / empty confusion / threshold sensitivity
+        # over the persisted oof or validation predictions (numpy-only,
+        # never claims a device). Read-only: the experiment dir is
+        # opened directly — execution.overwrite must never delete the
+        # artifacts this command is about to analyze.
+        from salt_tpu.pipeline.analysis import (analyze_experiment,
+                                                format_report)
+        experiment = Experiment(cfg.paths.experiment_dir)
+        train_b, _ = _bundles(cfg, args.synthetic,
+                              args.synthetic_difficulty)
+        report = analyze_experiment(experiment, train_b,
+                                    cfg.postpro.threshold_masks)
+        print(format_report(report))
+        return 0
+
     from salt_tpu.pipeline import api
     experiment = _build_experiment(cfg)
     train_b, test_b = _bundles(cfg, args.synthetic,
@@ -263,18 +280,6 @@ def main(argv=None):
             out_path=experiment.directory + "/channels_trace.jsonl")
         print("trace-steps (ms/step):",
               {k: round(v, 2) for k, v in timings.items()})
-
-    if args.command == "analyze":
-        # the reference's result_exploration notebook as a command:
-        # score-by-mask-size / empty confusion / threshold sensitivity
-        # over the persisted oof or validation predictions (numpy-only,
-        # never claims a device)
-        from salt_tpu.pipeline.analysis import (analyze_experiment,
-                                                format_report)
-        report = analyze_experiment(experiment, train_b,
-                                    cfg.postpro.threshold_masks)
-        print(format_report(report))
-        return 0
 
     if args.command == "train":
         api.train(cfg, experiment, train_b)

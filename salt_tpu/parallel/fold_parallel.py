@@ -269,11 +269,18 @@ def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
                                                  checkpoint_names, states)
         logger.info("fold-parallel resume from epoch %d", start_epoch)
 
-    bs = min(t.batch_size_train, min(d[0].shape[0] for d in fold_data))
+    min_fold = min(d[0].shape[0] for d in fold_data)
+    bs = min(t.batch_size_train, min_fold)
     if fp.n_data > 1:
         # hybrid mesh: each fold's batch splits evenly over "data"
+        if min_fold < fp.n_data:
+            raise ValueError(
+                f"fold_parallel_data_axis={fp.n_data} needs every fold "
+                f"to hold at least that many examples (smallest fold "
+                f"has {min_fold}) — shrink the data axis or the fold "
+                "count")
         bs = max((bs // fp.n_data) * fp.n_data, fp.n_data)
-    steps_per_epoch = min(d[0].shape[0] for d in fold_data) // bs
+    steps_per_epoch = min_fold // bs
     epochs = epochs if epochs is not None else t.epochs
     base_key = jax.random.PRNGKey(seed)
     # sequential fit() creates RandomState(seed) per fold — aligned mode

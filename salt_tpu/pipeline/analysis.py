@@ -55,6 +55,12 @@ def analyze_predictions(ids: Sequence[str], probs: np.ndarray,
     id_to_mask = {i: m for i, m in zip(bundle.meta["id"].tolist(),
                                        bundle.masks)}
     keep = [k for k, i in enumerate(ids) if i in id_to_mask]
+    if not keep:
+        raise ValueError(
+            "no overlap between the persisted prediction ids and the "
+            "bundle's ids — analyze must be run with the same data "
+            "source (--synthetic N/seed or data dirs) the experiment "
+            "was trained on")
     ids = [ids[k] for k in keep]
     probs = np.asarray(probs)[keep]
     y_true = np.stack([id_to_mask[i] for i in ids]).astype(np.uint8)

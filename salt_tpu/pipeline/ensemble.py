@@ -38,6 +38,10 @@ def _load_aligned(dirs: Sequence[str], name: str):
     if dropped:
         logger.info("ensemble: dropped %d ids not present in every "
                     "experiment", dropped)
+    if not ids:
+        raise ValueError(
+            f"no common ids across experiments for {name!r} — the "
+            "member experiments predict disjoint datasets")
     stacks = []
     for p in preds:
         index = {i: k for k, i in enumerate(p["ids"])}
@@ -85,26 +89,48 @@ def ensemble_experiments(experiment_dirs: Sequence[str], out_path: str,
                 len(experiment_dirs), method, out_path)
 
     if train_bundle is not None and train_bundle.masks is not None:
-        from salt_tpu.pipeline.api import calculate_scores
-        t_ids, t_stacked = _load_aligned(experiment_dirs,
-                                         "out_of_fold_train_predictions")
-        id_to_mask = {i: m for i, m in
-                      zip(train_bundle.meta["id"].tolist(),
-                          train_bundle.masks)}
-        keep = [k for k, i in enumerate(t_ids) if i in id_to_mask]
-        t_ids = [t_ids[k] for k in keep]
-        t_stacked = t_stacked[:, keep]
-        y_true = [id_to_mask[i] for i in t_ids]
-        member_scores = []
-        for m in range(t_stacked.shape[0]):
-            pred = [(p[1] > threshold).astype(np.uint8)
-                    for p in t_stacked[m]]
-            member_scores.append(calculate_scores(y_true, pred)[1])
-        avg = average_probabilities(t_stacked, weights, method)
-        pred = [(p[1] > threshold).astype(np.uint8) for p in avg]
-        _, ens_iout = calculate_scores(y_true, pred)
-        result["member_oof_iout"] = member_scores
-        result["ensemble_oof_iout"] = ens_iout
-        logger.info("oof IOUT: members %s -> ensemble %.5f",
-                    [round(s, 5) for s in member_scores], ens_iout)
+        # Scoring is a best-effort diagnostic: the submission above is
+        # already on disk, so a member missing its oof artifact (or a
+        # bundle/artifact id mismatch) must not fail the command.
+        try:
+            result.update(_score_oof(experiment_dirs, train_bundle,
+                                     weights, method, threshold))
+        except (FileNotFoundError, KeyError, ValueError) as e:
+            logger.info("ensemble: oof scoring skipped (%s)", e)
+            result["oof_scoring_error"] = str(e)
     return result
+
+
+def _score_oof(experiment_dirs: Sequence[str], train_bundle: DataBundle,
+               weights: Optional[Sequence[float]], method: str,
+               threshold: float) -> Dict:
+    """Member vs ensemble oof IOUT via the numpy parity metrics
+    (metrics/iout.py) — never touches jax, so the command stays safe to
+    run beside a live TPU process (the module contract above)."""
+    from salt_tpu.metrics.iout import intersection_over_union_thresholds
+    t_ids, t_stacked = _load_aligned(experiment_dirs,
+                                     "out_of_fold_train_predictions")
+    id_to_mask = {i: m for i, m in
+                  zip(train_bundle.meta["id"].tolist(),
+                      train_bundle.masks)}
+    keep = [k for k, i in enumerate(t_ids) if i in id_to_mask]
+    if not keep:
+        raise ValueError("no overlap between oof prediction ids and the "
+                         "train bundle — wrong --synthetic N/seed or "
+                         "data dir?")
+    t_ids = [t_ids[k] for k in keep]
+    t_stacked = t_stacked[:, keep]
+    y_true = [id_to_mask[i] for i in t_ids]
+    member_scores = []
+    for m in range(t_stacked.shape[0]):
+        pred = [(p[1] > threshold).astype(np.uint8)
+                for p in t_stacked[m]]
+        member_scores.append(
+            intersection_over_union_thresholds(y_true, pred))
+    avg = average_probabilities(t_stacked, weights, method)
+    pred = [(p[1] > threshold).astype(np.uint8) for p in avg]
+    ens_iout = intersection_over_union_thresholds(y_true, pred)
+    logger.info("oof IOUT: members %s -> ensemble %.5f",
+                [round(s, 5) for s in member_scores], ens_iout)
+    return {"member_oof_iout": member_scores,
+            "ensemble_oof_iout": ens_iout}

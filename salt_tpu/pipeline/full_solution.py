@@ -122,8 +122,11 @@ def run_full_solution(cfg: Config, workdir: str, train_b: DataBundle,
                                          cfg.postpro.threshold_masks)
         logger.info("oof gating delta: %s", gating_scores)
         import json
-        with open(os.path.join(workdir, "gating_scores.json"), "w") as f:
-            json.dump(gating_scores, f, indent=2, default=float)
+
+        from salt_tpu.core.experiment import _atomic_write_text
+        _atomic_write_text(os.path.join(workdir, "gating_scores.json"),
+                           json.dumps(gating_scores, indent=2,
+                                      default=float))
     out_path = os.path.join(workdir, "final_submission.csv")
     gated_submission(seg_exp, emp_exp, cfg.postpro.threshold_masks, out_path)
 

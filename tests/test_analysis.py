@@ -88,3 +88,32 @@ def test_cli_analyze(tmp_path, bundle, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "iout=" in out and "by gt mask size" in out
+
+
+def test_analyze_zero_overlap_raises_clearly(bundle):
+    probs = _probs_from_gt(bundle.masks)
+    foreign_ids = [f"other{i}" for i in range(len(bundle))]
+    with pytest.raises(ValueError, match="no overlap"):
+        analyze_predictions(foreign_ids, probs, bundle)
+
+
+def test_cli_analyze_is_read_only_despite_overwrite(tmp_path, bundle,
+                                                    capsys):
+    """`analyze` must never honor execution.overwrite: it is a read-only
+    report over the experiment dir it is pointed at (regression: the
+    command used to route through _build_experiment and rmtree the
+    artifacts it was about to analyze)."""
+    os.environ["SALT_TPU_PLATFORM"] = "cpu"
+    from salt_tpu import cli
+    exp_dir = str(tmp_path / "exp")
+    exp = Experiment(exp_dir)
+    probs = _probs_from_gt(bundle.masks)
+    exp.save_predictions("validation_predictions",
+                         bundle.meta["id"].tolist(), probs)
+    rc = cli.main(["analyze", "--synthetic", "24",
+                   "--set", f"paths.experiment_dir={exp_dir}",
+                   "--set", "execution.overwrite=true"])
+    assert rc == 0
+    assert "iout=" in capsys.readouterr().out
+    # the artifact survived
+    assert exp.load_predictions("validation_predictions") is not None

@@ -99,3 +99,29 @@ def test_cli_ensemble(two_experiments, tmp_path, capsys):
     assert rc == 0
     assert os.path.exists(out)
     assert "ensemble_oof_iout" in capsys.readouterr().out
+
+
+def test_ensemble_scoring_failure_keeps_submission(two_experiments,
+                                                   tmp_path):
+    """The submission is the product; oof scoring is best-effort — a
+    member missing its train-oof artifact must not fail the command."""
+    bundle, _, dirs = two_experiments
+    os.remove(os.path.join(
+        dirs[1], "outputs", "out_of_fold_train_predictions.npz"))
+    out = str(tmp_path / "ens.csv")
+    res = ensemble_experiments(dirs, out, train_bundle=bundle)
+    assert os.path.exists(out)
+    assert "oof_scoring_error" in res
+    assert "member_oof_iout" not in res
+
+
+def test_ensemble_disjoint_test_ids_raise(two_experiments, tmp_path):
+    """Zero common test ids means an empty submission — error out
+    instead of silently writing a header-only CSV."""
+    bundle, test_b, dirs = two_experiments
+    exp = Experiment(dirs[1])
+    probs = _probs_from_gt(test_b.masks, 0.8, 0.2)
+    exp.save_predictions("out_of_fold_test_predictions",
+                         [f"foreign{i}" for i in range(len(probs))], probs)
+    with pytest.raises(ValueError, match="no common ids"):
+        ensemble_experiments(dirs, str(tmp_path / "e.csv"))

@@ -318,3 +318,15 @@ def test_hybrid_no_cross_fold_leakage():
                                 np.ones(2, bool))
         losses[tag] = np.asarray(loss)
     assert losses["same"][0] == losses["diff"][0]
+
+
+def test_hybrid_mesh_fold_smaller_than_data_axis_raises(tmp_path):
+    """A fold smaller than the data axis cannot produce even one step
+    (regression: batch rounding used to yield steps_per_epoch == 0 and
+    crash on jnp.stack([]) every epoch)."""
+    cfg = _cfg_2d(4)
+    bundle = synthetic_bundle(6, seed=5)   # 2 folds of 3 < data axis 4
+    fold_train, fold_valid = _fold_splits(bundle)
+    with pytest.raises(ValueError, match="fold_parallel_data_axis"):
+        fit_fold_parallel(cfg, fold_train, epochs=1,
+                          valid_data=fold_valid)
