@@ -46,7 +46,7 @@ def main(argv=None):
         "empty-train", "empty-evaluate", "empty-cv",
         "empty-evaluate-cv", "empty-evaluate-predict-cv",
         "stacking-cv", "full-solution", "serve", "verify-data",
-        "cost-analysis", "analyze", "ensemble"])
+        "cost-analysis", "analyze", "ensemble", "data-stats"])
     parser.add_argument("--workdir", default="output/full_solution",
                         help="full-solution: root dir for the "
                              "segmentation/emptiness/stacking stages")
@@ -225,6 +225,16 @@ def main(argv=None):
                                  cfg.paths.depths_filepath)
         meta.to_csv(cfg.paths.metadata_filepath, index=None)
         print(f"metadata saved to {cfg.paths.metadata_filepath}")
+        return 0
+
+    if args.command == "data-stats":
+        # the reference's data_exploration notebook as a report: depth
+        # distribution, image mean/std (normalization constants), mask
+        # characteristics (data/stats.py — numpy-only, device-free)
+        from salt_tpu.data.stats import bundle_stats, format_stats
+        train_b, test_b = _bundles(cfg, args.synthetic,
+                                   args.synthetic_difficulty)
+        print(format_stats(bundle_stats(train_b, test_b)))
         return 0
 
     if args.command == "analyze":
