@@ -78,26 +78,58 @@ def oof_gated_scores(seg_exp: Experiment, emp_exp: Experiment,
             "gated": {"iou": g_iou, "iout": g_iout}}
 
 
+def _stage_complete(exp: Experiment, scores_json: str,
+                    outputs: tuple) -> bool:
+    """A stage is resumable-as-done when its score artifact AND every
+    prediction artifact the later stages consume already exist."""
+    if not os.path.exists(os.path.join(exp.directory,
+                                       f"{scores_json}.json")):
+        return False
+    return all(exp.has_output(name) for name in outputs)
+
+
 def run_full_solution(cfg: Config, workdir: str, train_b: DataBundle,
                       test_b: DataBundle,
                       use_stacking: bool = True) -> Dict:
     """Run every stage end-to-end; returns the per-stage score dicts and
     the final submission path. Stages persist under
-    ``<workdir>/{segmentation,emptiness,stacking}``."""
+    ``<workdir>/{segmentation,emptiness,stacking}``.
+
+    With ``execution.resume=true`` a crashed run restarts where it died:
+    a stage whose cv-scores JSON and downstream prediction artifacts are
+    already on disk is loaded instead of retrained (stage-level analogue
+    of the reference's steppy transformer cache letting a re-run skip
+    completed fit steps — reference: utils.py:444-467)."""
     os.makedirs(workdir, exist_ok=True)
+    resume = cfg.execution.resume
 
     # ---- stage 1: segmentation CV ensemble (oof + fold-mean test preds)
     seg_cfg = _stage_config(cfg, workdir, "segmentation")
     seg_exp = Experiment(seg_cfg.paths.experiment_dir)
-    seg_scores = api.train_evaluate_predict_cv(seg_cfg, seg_exp, train_b,
-                                               test_b)
+    seg_outputs = ("out_of_fold_train_predictions",) + (
+        ("out_of_fold_test_predictions",) if test_b is not None else ())
+    if resume and _stage_complete(seg_exp, "cv_scores", seg_outputs):
+        seg_scores = seg_exp.load_json("cv_scores")
+        logger.info("resume: segmentation stage already complete, "
+                    "loaded cv_scores")
+    else:
+        seg_scores = api.train_evaluate_predict_cv(seg_cfg, seg_exp,
+                                                   train_b, test_b)
     logger.info("segmentation CV: %s", seg_scores)
 
     # ---- stage 2: emptiness classifier CV (oof gating probabilities)
     emp_cfg = _stage_config(cfg, workdir, "emptiness")
     emp_exp = Experiment(emp_cfg.paths.experiment_dir)
-    emp_scores = emptiness.train_evaluate_predict_cv(emp_cfg, emp_exp,
-                                                     train_b, test_b)
+    emp_outputs = ("emptiness_oof_train_predictions",) + (
+        ("emptiness_oof_test_predictions",) if test_b is not None else ())
+    if resume and _stage_complete(emp_exp, "emptiness_cv_scores",
+                                  emp_outputs):
+        emp_scores = emp_exp.load_json("emptiness_cv_scores")
+        logger.info("resume: emptiness stage already complete, "
+                    "loaded emptiness_cv_scores")
+    else:
+        emp_scores = emptiness.train_evaluate_predict_cv(emp_cfg, emp_exp,
+                                                         train_b, test_b)
     logger.info("emptiness CV: %s", emp_scores)
 
     # ---- stage 3: stacking second level over the segmentation oof preds
@@ -105,14 +137,23 @@ def run_full_solution(cfg: Config, workdir: str, train_b: DataBundle,
     if use_stacking:
         stack_cfg = _stage_config(cfg, workdir, "stacking")
         stack_exp = Experiment(stack_cfg.paths.experiment_dir)
-        seg_dir = seg_cfg.paths.experiment_dir
-        ids, cube = stacking.join_experiment_predictions([seg_dir], "train")
-        bundle_aligned, cube = stacking.stacking_bundle(train_b, ids, cube)
-        t_ids, t_cube = stacking.join_experiment_predictions([seg_dir],
-                                                             "test")
-        test_aligned, t_cube = stacking.stacking_bundle(test_b, t_ids, t_cube)
-        stack_scores = stacking.train_evaluate_stacking(
-            stack_cfg, stack_exp, bundle_aligned, cube, t_cube, test_aligned)
+        if resume and _stage_complete(stack_exp, "stacking_cv_scores", ()):
+            stack_scores = stack_exp.load_json("stacking_cv_scores")
+            logger.info("resume: stacking stage already complete, "
+                        "loaded stacking_cv_scores")
+        else:
+            seg_dir = seg_cfg.paths.experiment_dir
+            ids, cube = stacking.join_experiment_predictions([seg_dir],
+                                                             "train")
+            bundle_aligned, cube = stacking.stacking_bundle(train_b, ids,
+                                                            cube)
+            t_ids, t_cube = stacking.join_experiment_predictions([seg_dir],
+                                                                 "test")
+            test_aligned, t_cube = stacking.stacking_bundle(test_b, t_ids,
+                                                            t_cube)
+            stack_scores = stacking.train_evaluate_stacking(
+                stack_cfg, stack_exp, bundle_aligned, cube, t_cube,
+                test_aligned)
         logger.info("stacking CV: %s", stack_scores)
 
     # ---- stage 4: gated final submission + measured oof gating delta

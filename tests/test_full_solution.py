@@ -84,6 +84,49 @@ def test_emptiness_evaluate_predict_cv(solution_dirs):
     assert len(reloaded["ids"]) == 8
 
 
+def test_resume_skips_completed_stages(solution_dirs):
+    """Crash recovery: re-running full-solution with execution.resume on
+    a workdir whose stages already persisted their score + prediction
+    artifacts must load them instead of retraining (stage-level analogue
+    of the reference's steppy transformer cache, utils.py:444-467)."""
+    import glob
+
+    from salt_tpu.core.config import default_config
+    from salt_tpu.data.bundle import synthetic_bundle
+    from salt_tpu.pipeline.full_solution import run_full_solution
+
+    w = solution_dirs
+    ckpts = sorted(glob.glob(f"{w}/segmentation/checkpoints/**/*",
+                             recursive=True))
+    assert ckpts
+    mtimes_before = {p: os.path.getmtime(p) for p in ckpts}
+
+    cfg = default_config()
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 2
+    cfg.training.epochs = 1
+    cfg.training.batch_size_train = 8
+    cfg.training.batch_size_inference = 8
+    cfg.training.dtype = "float32"
+    cfg.execution.n_cv_splits = 2
+    cfg.execution.resume = True
+    cfg.paths.experiment_dir = f"{w}/unused"
+    train_b = synthetic_bundle(32, seed=cfg.execution.seed)
+    test_b = synthetic_bundle(8, seed=cfg.execution.seed + 1,
+                              with_masks=False)
+
+    results = run_full_solution(cfg, w, train_b, test_b)
+
+    persisted = json.load(open(f"{w}/segmentation/cv_scores.json"))
+    assert results["segmentation"] == persisted
+    assert results["stacking"] is not None
+    assert os.path.exists(results["submission_path"])
+    # no segmentation checkpoint was rewritten -> the stage was skipped
+    for p, before in mtimes_before.items():
+        assert os.path.getmtime(p) == before, f"stage retrained: {p}"
+
+
 def test_oof_gating_delta_is_measured(solution_dirs):
     """run_full_solution now scores ungated-vs-gated IOUT on the oof
     TRAIN predictions (where ground truth exists) — the gating stage's
