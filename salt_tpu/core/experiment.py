@@ -65,6 +65,21 @@ class Experiment:
         self.flush_saves()
         return os.path.exists(self.checkpoint_path(name, tag))
 
+    def train_finished(self, name: str,
+                       epochs: Optional[int] = None) -> bool:
+        """True when this model's fit loop ended CLEANLY and would not
+        train further under the current config: it early-stopped, or it
+        reached ``epochs``. ModelCheckpoint marks the last-checkpoint
+        meta on clean train end; a crash/kill never does. Lets --resume
+        skip completed folds while still allowing a finished run to be
+        extended with a larger epoch budget."""
+        meta = self.load_meta(name, tag="last")
+        if not (self.has_checkpoint(name) and meta.get("finished")):
+            return False
+        if meta.get("early_stopped"):
+            return True
+        return epochs is not None and int(meta.get("epoch", -1)) + 1 >= epochs
+
     def save_params(self, name: str, params: Any, tag: str = "best",
                     meta: Optional[dict] = None) -> str:
         """Persist a pytree of arrays as a flat npz (keys are '/'-joined paths)."""

@@ -99,7 +99,8 @@ def _make_callbacks(config: Config, experiment: Experiment, name: str,
         TrainingMonitor(epoch_every=1),
         ModelCheckpoint(experiment, name,
                         metric_name=t.validation_metric_name,
-                        minimize=t.minimize_validation_metric),
+                        minimize=t.minimize_validation_metric,
+                        resume=config.execution.resume),
         *_lr_schedule_callbacks(t),
         EarlyStopping(t.validation_metric_name, t.patience,
                       t.minimize_validation_metric),
@@ -171,10 +172,21 @@ def _fit_fold(config: Config, experiment: Experiment, name: str,
     state = None
     start_epoch = 0
     if (config.execution.resume
+            and experiment.train_finished(name, config.training.epochs)):
+        # fold-level crash recovery: this fold's fit already ended
+        # cleanly (early stop / epoch budget) — keep its checkpoints
+        logger.info("resume: %s training already finished, skipping fit",
+                    name)
+        return runner
+    if (config.execution.resume
             and experiment.has_checkpoint(name, tag="last")):
         # crash-recovery: restore params + optimizer state + epoch
         logger.info("resuming %s from the last checkpoint", name)
         state, start_epoch = load_last(runner, experiment, name)
+        if start_epoch >= config.training.epochs:
+            logger.info("resume: %s already at the epoch budget, "
+                        "skipping fit", name)
+            return runner
     elif config.execution.fine_tuning and experiment.has_checkpoint(name):
         # FineTuneStep semantics: load persisted transformer, re-fit
         # (reference: utils.py:455-461)

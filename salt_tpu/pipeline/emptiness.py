@@ -49,7 +49,8 @@ def _callbacks(cfg: Config, experiment: Experiment, name: str) -> CallbackList:
     return CallbackList([
         ExperimentTiming(),
         TrainingMonitor(epoch_every=1),
-        ModelCheckpoint(experiment, name, metric_name="auc", minimize=False),
+        ModelCheckpoint(experiment, name, metric_name="auc", minimize=False,
+                        resume=cfg.execution.resume),
         ReduceLROnPlateauScheduler("auc", False, t.reduce_factor,
                                    t.reduce_patience, t.min_lr),
         EarlyStopping("auc", t.patience, False),
@@ -116,11 +117,20 @@ def _cv_loop(config: Config, experiment: Experiment, bundle: DataBundle,
         valid_b = bundle.take(valid_idx)
         logger.info("Started emptiness fold %d", fold_id)
         if do_train:
-            train_b = bundle.take(train_idx)
-            fit_classifier(runner, (train_b.images, _labels(train_b)),
-                           (valid_b.images, _labels(valid_b)),
-                           callbacks=_callbacks(cfg, experiment, name),
-                           seed=cfg.execution.seed)
+            if (cfg.execution.resume
+                    and experiment.train_finished(name,
+                                                  cfg.training.epochs)):
+                # fold-level crash recovery (classifier folds restart
+                # from scratch otherwise — fit_classifier has no
+                # mid-fold state restore)
+                logger.info("resume: %s training already finished, "
+                            "skipping fit", name)
+            else:
+                train_b = bundle.take(train_idx)
+                fit_classifier(runner, (train_b.images, _labels(train_b)),
+                               (valid_b.images, _labels(valid_b)),
+                               callbacks=_callbacks(cfg, experiment, name),
+                               seed=cfg.execution.seed)
         state = _load_best(runner, experiment, name)
         probs_valid = runner.predict_dataset(state, valid_b.images)
         auc = roc_auc(_labels(valid_b), probs_valid[:, 1])

@@ -93,14 +93,30 @@ def train_evaluate_stacking(config: Config, experiment: Experiment,
             cv.split(bundle.meta["z"].values)):
         name = add_fold_suffix("stacking_network", fold_id)
         train_b, valid_b = bundle.take(train_idx), bundle.take(valid_idx)
-        callbacks = _make_callbacks(cfg, experiment, name)
         use_depth = runner.use_depth
-        fit(runner,
-            (cube[train_idx], train_b.masks,
-             train_b.depths if use_depth else None),
-            (cube[valid_idx], valid_b.masks,
-             valid_b.depths if use_depth else None),
-            callbacks=callbacks, seed=cfg.execution.seed)
+        if (cfg.execution.resume
+                and experiment.train_finished(name, cfg.training.epochs)):
+            # fold-level crash recovery: fit already ended cleanly;
+            # the (deterministic) val scoring + test predict below
+            # recompute from the persisted best checkpoint
+            logger.info("resume: %s training already finished, "
+                        "skipping fit", name)
+        else:
+            state0, start_epoch = None, 0
+            if (cfg.execution.resume
+                    and experiment.has_checkpoint(name, tag="last")):
+                from salt_tpu.pipeline.api import load_last
+                logger.info("resuming %s from the last checkpoint", name)
+                state0, start_epoch = load_last(runner, experiment, name)
+            if start_epoch < cfg.training.epochs:
+                callbacks = _make_callbacks(cfg, experiment, name)
+                fit(runner,
+                    (cube[train_idx], train_b.masks,
+                     train_b.depths if use_depth else None),
+                    (cube[valid_idx], valid_b.masks,
+                     valid_b.depths if use_depth else None),
+                    callbacks=callbacks, seed=cfg.execution.seed,
+                    state=state0, start_epoch=start_epoch)
         state = runner.init_state(cfg.execution.seed)
         like = {"params": state.params, "batch_stats": state.batch_stats}
         restored = experiment.load_params(name, like)

@@ -263,7 +263,8 @@ class ModelCheckpoint(Callback):
 
     def __init__(self, experiment, name: str, metric_name: str = "iout",
                  minimize: bool = False, epoch_every: int = 1,
-                 save_last: bool = True, last_every: int = 5):
+                 save_last: bool = True, last_every: int = 5,
+                 resume: bool = False):
         self.experiment = experiment
         self.name = name
         self.metric_name = metric_name
@@ -274,6 +275,15 @@ class ModelCheckpoint(Callback):
         # so write it sparsely — it's crash recovery, not the artifact
         self.last_every = last_every
         self.best_score = None
+        if resume and experiment.has_checkpoint(name, tag="best"):
+            # crash recovery must not let a worse post-resume epoch
+            # overwrite the pre-crash best checkpoint: seed the running
+            # best from the persisted best meta
+            persisted = experiment.load_meta(name, tag="best")
+            if metric_name in persisted:
+                self.best_score = float(persisted[metric_name])
+                logger.info("resume: best %s so far %.5f (checkpoint kept"
+                            " unless beaten)", metric_name, self.best_score)
 
     def on_epoch_end(self, ctx):
         if not self.epoch_every or ctx["epoch_id"] % self.epoch_every:
@@ -310,12 +320,17 @@ class ModelCheckpoint(Callback):
                         self.metric_name, score)
 
     def on_train_end(self, ctx):
-        # guarantee a resumable checkpoint at run end regardless of cadence
+        # guarantee a resumable checkpoint at run end regardless of
+        # cadence; 'finished' marks a CLEAN train end (early stop or
+        # epoch budget) — a crash never reaches here, so --resume can
+        # skip refitting this fold entirely
         if self.save_last and "state" in ctx:
-            self._save_last(ctx)
+            self._save_last(ctx, finished=True,
+                            early_stopped=bool(ctx.get("early_stopped")))
         self.experiment.flush_saves()
 
-    def _save_last(self, ctx):
+    def _save_last(self, ctx, finished: bool = False,
+                   early_stopped: bool = False):
         """Crash-recovery checkpoint alongside best (the reference's
         equivalents are the steppy transformer cache +
         CLONE_EXPERIMENT_DIR_FROM, main.py:38-51). Includes the full
@@ -326,7 +341,9 @@ class ModelCheckpoint(Callback):
                         "batch_stats": state.batch_stats,
                         "opt_state": state.opt_state,
                         "step": state.step},
-            tag="last", meta={"epoch": ctx["epoch_id"]})
+            tag="last", meta={"epoch": ctx["epoch_id"],
+                              "finished": finished,
+                              "early_stopped": early_stopped})
 
 
 class EarlyStopping(Callback):

@@ -203,6 +203,7 @@ def fit_classifier(runner: ClassifierRunner,
             state = state.with_learning_rate(new_lr)
             ctx["learning_rate"] = new_lr
         if callbacks.training_break(ctx):
+            ctx["early_stopped"] = True
             break
     callbacks.on_train_end(ctx)
     return state, history

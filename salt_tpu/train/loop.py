@@ -180,6 +180,7 @@ def fit(runner: SegmentationRunner,
             ctx["learning_rate"] = new_lr
         if callbacks.training_break(ctx):
             logger.info("early stopping at epoch %d", epoch_id)
+            ctx["early_stopped"] = True
             break
     callbacks.on_train_end(ctx)
     return state, history
