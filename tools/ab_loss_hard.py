@@ -17,7 +17,10 @@ Each loss trains into output/hard_ab_<loss> and is TTA-evaluated; the
 table prints at the end. ~12 min per loss through the relay.
 """
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_one(loss: str, epochs: int = 25, n: int = 3000) -> dict:
