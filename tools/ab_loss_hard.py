@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run_one(loss: str, epochs: int = 25, n: int = 3000) -> dict:
     from salt_tpu import cli
-    exp_dir = f"output/hard_ab_{loss}"
+    exp_dir = f"output/hard_ab_{loss}_e{epochs}"
     flags = [
         "--synthetic", str(n), "--synthetic-difficulty", "hard",
         "--set", f"paths.experiment_dir={exp_dir}",
@@ -44,12 +44,18 @@ def run_one(loss: str, epochs: int = 25, n: int = 3000) -> dict:
 
 
 def main(argv):
+    epochs = 25
+    if "--epochs" in argv:
+        k = argv.index("--epochs")
+        epochs = int(argv[k + 1])
+        argv = argv[:k] + argv[k + 2:]
     losses = argv or ["lovasz", "focal", "focal_weighted"]
     results = {}
     for loss in losses:                  # sequential: one TPU claim
-        results[loss] = run_one(loss)
+        results[loss] = run_one(loss, epochs=epochs)
         print(f"{loss}: {results[loss]}", flush=True)
-    print("\n== loss A/B (hard synthetic, single fold, TTA) ==")
+    print(f"\n== loss A/B (hard synthetic, single fold, TTA, "
+          f"{epochs} epochs) ==")
     for loss, r in results.items():
         print(f"{loss:20s} iou={r['iou']:.4f} iout={r['iout']:.4f}")
     return results
