@@ -6,6 +6,9 @@ import os
 import time
 
 import numpy as np
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(name, concat_decoder, interleave_up, bs=64):

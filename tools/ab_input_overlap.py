@@ -14,6 +14,9 @@ import os
 import time
 
 import numpy as np
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(steps=40, batch=128, windows=3):

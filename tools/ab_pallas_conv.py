@@ -10,6 +10,10 @@ import argparse
 import time
 
 import numpy as np
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
 def make_runner(model_overrides, batch_inference=64):

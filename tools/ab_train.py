@@ -8,6 +8,9 @@ import os
 import time
 
 import numpy as np
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_runner(hypercolumn_impl, pallas_sort, batch=128):

@@ -12,6 +12,9 @@ import sys
 import time
 
 import numpy as np
+import os as _os
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
 def make_runner(model_overrides, batch_inference=64):

@@ -9,6 +9,9 @@ import os
 import time
 
 import numpy as np
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_runner(quant=8, hyper=True):

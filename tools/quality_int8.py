@@ -8,6 +8,10 @@ default (bench headline) or stays opt-in.
 import copy
 import json
 import shutil
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 EXP = "/tmp/int8_quality_exp"
 
