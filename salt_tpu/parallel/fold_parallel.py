@@ -186,9 +186,14 @@ def _load_last_stacked(fp: FoldParallelRunner, experiment, names,
                        template_states: TrainState):
     """Fold-parallel crash-recovery: restore every fold's 'last'
     checkpoint (params + BN stats + optimizer state + epoch) and restack
-    (sequential counterpart: pipeline/api.py load_last)."""
+    (sequential counterpart: pipeline/api.py load_last). Returns the
+    stacked states plus PER-FOLD (next_epoch, meta) — folds can sit at
+    different epochs (early-stopped folds freeze where they stopped;
+    async save skew can leave one fold a cadence behind), and collapsing
+    them to a single min() was measured wrong: it re-applied already-run
+    epochs on top of ahead folds' restored states."""
     like = fp.fold_state(template_states, 0)
-    fold_states, next_epochs = [], []
+    fold_states, next_epochs, metas = [], [], []
     for name in names:
         like_dict = {"params": like.params, "batch_stats": like.batch_stats,
                      "opt_state": like.opt_state, "step": like.step}
@@ -200,9 +205,10 @@ def _load_last_stacked(fp: FoldParallelRunner, experiment, names,
             opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"])))
         next_epochs.append(int(meta.get("epoch", -1)) + 1)
+        metas.append(meta)
     stacked = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
                            *fold_states)
-    return (jax.device_put(stacked, fp._fold_sharding), min(next_epochs))
+    return (jax.device_put(stacked, fp._fold_sharding), next_epochs, metas)
 
 
 def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
@@ -242,32 +248,68 @@ def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
     k = len(fold_data)
     fp = FoldParallelRunner(config, k)
 
+    epochs = epochs if epochs is not None else t.epochs
     # per-fold callback stacks — the SAME classes the sequential fit()
     # consumes, so schedule/stop/checkpoint semantics cannot drift
     callbacks: List[CallbackList] = []
+    checkpoints: List[Optional["ModelCheckpoint"]] = []
     for i in range(k):
         items = list(_lr_schedule_callbacks(t))
         items.append(EarlyStopping(t.validation_metric_name, t.patience,
                                    t.minimize_validation_metric))
+        ckpt = None
         if experiment is not None and checkpoint_names is not None:
-            items.insert(0, ModelCheckpoint(
+            ckpt = ModelCheckpoint(
                 experiment, checkpoint_names[i],
                 metric_name=t.validation_metric_name,
-                minimize=t.minimize_validation_metric))
+                minimize=t.minimize_validation_metric,
+                resume=cfg.execution.resume)
+            items.insert(0, ckpt)
             items.append(ChannelLogger(
                 experiment.directory +
                 f"/channels_{checkpoint_names[i]}.jsonl"))
+        checkpoints.append(ckpt)
         callbacks.append(CallbackList(items))
 
     states = fp.init_states(seed, identical=align_with_sequential)
     start_epoch = 0
+    lrs = np.full((k,), t.lr, np.float32)
+    active = np.ones((k,), bool)
+    # first epoch each fold actually trains: on resume, folds restored
+    # AHEAD of start_epoch stay frozen (active mask) until the loop
+    # catches up to their own checkpoint — no epoch is ever applied
+    # twice to a state that already saw it
+    resume_from = np.zeros((k,), np.int64)
+    resume_meta: List[Optional[dict]] = [None] * k
     if (cfg.execution.resume and experiment is not None
             and checkpoint_names is not None
             and all(experiment.has_checkpoint(n, tag="last")
                     for n in checkpoint_names)):
-        states, start_epoch = _load_last_stacked(fp, experiment,
-                                                 checkpoint_names, states)
-        logger.info("fold-parallel resume from epoch %d", start_epoch)
+        states, next_epochs, metas = _load_last_stacked(
+            fp, experiment, checkpoint_names, states)
+        resume_from = np.asarray(next_epochs)
+        resume_meta = list(metas)
+        # restored opt_state carries each fold's injected LR (plateau /
+        # exponential schedule position) — do NOT reset to the base lr
+        hp_lr = np.asarray(
+            states.opt_state.hyperparams["learning_rate"]).reshape(-1)
+        lrs = np.broadcast_to(hp_lr, (k,)).astype(np.float32).copy()
+        unfinished = []
+        for i, name in enumerate(checkpoint_names):
+            if experiment.train_finished(name, epochs):
+                # this fold's previous fit ended CLEANLY (early stop or
+                # epoch budget): keep its state/artifacts frozen, skip
+                # the end-of-run meta rewrite (sequential counterpart:
+                # pipeline/api.py _fit_fold's train_finished skip)
+                active[i] = False
+                if checkpoints[i] is not None:
+                    checkpoints[i].save_last = False
+            else:
+                unfinished.append(int(resume_from[i]))
+        start_epoch = min(unfinished) if unfinished else epochs
+        logger.info("fold-parallel resume from epoch %d (per-fold %s, "
+                    "finished %s)", start_epoch, list(resume_from),
+                    [not a for a in active])
 
     min_fold = min(d[0].shape[0] for d in fold_data)
     bs = min(t.batch_size_train, min_fold)
@@ -281,7 +323,6 @@ def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
                 "count")
         bs = max((bs // fp.n_data) * fp.n_data, fp.n_data)
     steps_per_epoch = min_fold // bs
-    epochs = epochs if epochs is not None else t.epochs
     base_key = jax.random.PRNGKey(seed)
     # sequential fit() creates RandomState(seed) per fold — aligned mode
     # mirrors that; default decorrelates the shuffle streams
@@ -289,14 +330,21 @@ def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
                                        else seed + 9973 * i)
                  for i in range(k)]
     history = []
-    lrs = np.full((k,), t.lr, np.float32)
-    active = np.ones((k,), bool)
-    ctxs = [{"state": None, "learning_rate": float(t.lr), "epoch_id": 0,
-             "batch_id": 0, "batch_loss": 0.0} for _ in range(k)]
+    ctxs = [{"state": None, "learning_rate": float(lrs[i]),
+             # on resume the epoch marker starts at the restored epoch so
+             # an immediately-following on_train_end (empty loop) cannot
+             # regress the crash-recovery meta back to epoch 0
+             "epoch_id": max(int(resume_from[i]) - 1, 0),
+             "batch_id": 0, "batch_loss": 0.0} for i in range(k)]
     for i in range(k):
+        if resume_meta[i] is not None and resume_meta[i].get("early_stopped"):
+            ctxs[i]["early_stopped"] = True
         callbacks[i].on_train_begin(ctxs[i])
 
     for epoch_id in range(start_epoch, epochs):
+        # early-stopped/finished folds freeze; resumed-ahead folds stay
+        # frozen until the loop reaches their own restored epoch
+        epoch_active = active & (resume_from <= epoch_id)
         orders = []
         for i in range(k):
             idx = np.arange(fold_data[i][0].shape[0])
@@ -320,17 +368,17 @@ def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
             keys = (jnp.stack([step_key] * k) if align_with_sequential
                     else jax.random.split(step_key, k))
             states, loss = fp.train_step(states, di, dm, dd, keys,
-                                         jnp.asarray(active))
+                                         jnp.asarray(epoch_active))
             losses.append(loss)
         mean_loss = np.asarray(jnp.stack(losses)).mean(axis=0)  # [K]
         record = {"epoch": epoch_id,
                   "train_loss": [float(v) for v in mean_loss],
                   "lr": [float(v) for v in lrs],
-                  "active": active.tolist()}
+                  "active": epoch_active.tolist()}
 
         fold_scores: List[Optional[dict]] = [None] * k
         for i in range(k):
-            if not active[i]:
+            if not epoch_active[i]:
                 continue
             ctx = ctxs[i]
             ctx["epoch_id"] = epoch_id
@@ -351,6 +399,13 @@ def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
             if callbacks[i].training_break(ctx):
                 logger.info("fold %d early-stopped at epoch %d", i, epoch_id)
                 active[i] = False
+                ctx["early_stopped"] = True
+                if checkpoints[i] is not None:
+                    # persist the clean-end marker NOW: a crash later in
+                    # the run must not resume (and retrain) a fold that
+                    # already stopped — its restored state is final
+                    checkpoints[i]._save_last(ctx, finished=True,
+                                              early_stopped=True)
         states = _set_fold_lrs(states, lrs)
         if valid_data is not None:
             record["val"] = fold_scores

@@ -295,15 +295,16 @@ class ModelCheckpoint(Callback):
         if self.metric_name not in metrics:
             return
         score = float(metrics[self.metric_name])
+        # strictly-better only: no epoch-0 force-save — with a fresh
+        # start best_score is None so epoch 0 saves anyway, and after a
+        # restart-from-scratch resume (best exists, no last checkpoint)
+        # a forced save would clobber the pre-crash best with epoch-0
+        # weights
         improved = (self.best_score is None
                     or (self.minimize and score < self.best_score)
-                    or (not self.minimize and score > self.best_score)
-                    or ctx["epoch_id"] == 0)
+                    or (not self.minimize and score > self.best_score))
         if improved:
-            if (self.best_score is None
-                    or (self.minimize and score < self.best_score)
-                    or (not self.minimize and score > self.best_score)):
-                self.best_score = score
+            self.best_score = score
             state = ctx["state"]
             # async: the D2H of a full state costs 13-40 s through this
             # environment's host link; a sync save adds that to every

@@ -116,8 +116,14 @@ def fit(runner: SegmentationRunner,
     host_rng = np.random.RandomState(seed)
     base_key = jax.random.PRNGKey(seed)
     history = []
-    ctx = {"state": state, "learning_rate": cfg.training.lr,
-           "epoch_id": 0, "batch_id": 0, "batch_loss": 0.0}
+    # seed the schedulers from the STATE's lr, not the config base lr:
+    # on --resume the restored optimizer carries the schedule position
+    # (plateau reductions / exponential decay) and resetting to
+    # cfg.training.lr would silently undo it (fresh states carry
+    # cfg.training.lr, so this is identity for a normal fit)
+    ctx = {"state": state, "learning_rate": state.learning_rate,
+           "epoch_id": max(start_epoch - 1, 0), "batch_id": 0,
+           "batch_loss": 0.0}
     callbacks.on_train_begin(ctx)
     if "force_learning_rate" in ctx:
         state = state.with_learning_rate(ctx.pop("force_learning_rate"))

@@ -167,3 +167,47 @@ def test_callback_list_aggregates_lr():
     lst.on_train_begin(ctx)
     # last callback wins (like torch applying schedulers in order)
     assert lst.new_learning_rate(ctx) == pytest.approx(0.1)
+
+def test_model_checkpoint_resume_epoch0_cannot_clobber_best():
+    """A resume that restarts training from scratch (best checkpoint
+    persisted, no last checkpoint yet) must not let epoch 0 overwrite
+    the pre-crash best (regression: an unconditional epoch-0 force-save
+    bypassed the seeded best_score)."""
+    from salt_tpu.train.callbacks import ModelCheckpoint
+
+    class FakeExp:
+        def __init__(self):
+            self.saves = []
+
+        def save_params(self, name, tree, tag="best", meta=None):
+            self.saves.append((tag, dict(meta or {})))
+
+        save_params_async = save_params
+
+        def has_checkpoint(self, name, tag="best"):
+            return tag == "best"
+
+        def load_meta(self, name, tag="best"):
+            return {"epoch": 7, "iout": 0.8}
+
+        def flush_saves(self):
+            pass
+
+    class FakeState:
+        params = {}
+        batch_stats = {}
+        opt_state = {}
+        step = 0
+
+    exp = FakeExp()
+    cb = ModelCheckpoint(exp, "network", metric_name="iout",
+                         minimize=False, resume=True)
+    assert cb.best_score == 0.8
+    # epoch 0 after the restart scores far below the persisted best
+    cb.on_epoch_end({"epoch_id": 0, "state": FakeState(),
+                     "validation": {"iout": 0.3, "threshold": 0.5}})
+    assert [t for t, _ in exp.saves if t == "best"] == []
+    # a genuine improvement still saves
+    cb.on_epoch_end({"epoch_id": 1, "state": FakeState(),
+                     "validation": {"iout": 0.85, "threshold": 0.5}})
+    assert [m["epoch"] for t, m in exp.saves if t == "best"] == [1]

@@ -330,3 +330,112 @@ def test_hybrid_mesh_fold_smaller_than_data_axis_raises(tmp_path):
     with pytest.raises(ValueError, match="fold_parallel_data_axis"):
         fit_fold_parallel(cfg, fold_train, epochs=1,
                           valid_data=fold_valid)
+
+
+def test_fold_parallel_resume_noop_preserves_meta_and_best(tmp_path):
+    """Resuming an ALREADY-FINISHED fold-parallel run is a pure no-op:
+    no retraining, the last-checkpoint meta keeps its real epoch +
+    finished marker, and the best artifact is untouched (regression:
+    an empty resume loop used to rewrite every fold's meta with
+    epoch_id 0, re-arming crash recovery to retrain from epoch 1, and
+    the fold ModelCheckpoints were built without resume= so the first
+    post-resume epoch treated any score as an improvement)."""
+    cfg = _cfg()
+    bundle = synthetic_bundle(32, seed=17)
+    fold_train, fold_valid = _fold_splits(bundle)
+    names = ["network_fold_0", "network_fold_1"]
+    experiment = Experiment(str(tmp_path / "exp"))
+    fit_fold_parallel(cfg, fold_train, epochs=2, valid_data=fold_valid,
+                      experiment=experiment, checkpoint_names=names,
+                      seed=cfg.execution.seed)
+    experiment.flush_saves()
+    last_meta1 = {n: experiment.load_meta(n, tag="last") for n in names}
+    best_meta1 = {n: experiment.load_meta(n, tag="best") for n in names}
+    best_npz1 = {n: dict(np.load(experiment.checkpoint_path(n, tag="best")))
+                 for n in names}
+
+    cfg.execution.resume = True
+    _, history = fit_fold_parallel(cfg, fold_train, epochs=2,
+                                   valid_data=fold_valid,
+                                   experiment=experiment,
+                                   checkpoint_names=names,
+                                   seed=cfg.execution.seed)
+    experiment.flush_saves()
+    assert history == []                      # nothing left to train
+    for n in names:
+        meta2 = experiment.load_meta(n, tag="last")
+        assert meta2["epoch"] == last_meta1[n]["epoch"] == 1
+        assert meta2["finished"]
+        assert experiment.load_meta(n, tag="best") == best_meta1[n]
+        best2 = dict(np.load(experiment.checkpoint_path(n, tag="best")))
+        for key in best_npz1[n]:
+            np.testing.assert_array_equal(best_npz1[n][key], best2[key])
+
+
+def test_fold_parallel_resume_freezes_early_stopped_folds(tmp_path):
+    """Early-stopped folds are marked finished in their last meta the
+    moment they stop, and --resume with a LARGER epoch budget leaves
+    them frozen (train_finished honors early_stopped regardless of
+    epochs) instead of retraining them with fresh patience counters."""
+    cfg = _cfg()
+    cfg.training.patience = 0
+    bundle = synthetic_bundle(32, seed=19)
+    fold_train, fold_valid = _fold_splits(bundle)
+    names = ["network_fold_0", "network_fold_1"]
+    experiment = Experiment(str(tmp_path / "exp"))
+    _, history1 = fit_fold_parallel(cfg, fold_train, epochs=30,
+                                    valid_data=fold_valid,
+                                    experiment=experiment,
+                                    checkpoint_names=names,
+                                    seed=cfg.execution.seed)
+    assert len(history1) < 30, "early stopping never fired"
+    experiment.flush_saves()
+    for n in names:
+        meta = experiment.load_meta(n, tag="last")
+        assert meta["finished"] and meta["early_stopped"]
+    last_npz1 = {n: dict(np.load(experiment.checkpoint_path(n, tag="last")))
+                 for n in names}
+
+    cfg.execution.resume = True
+    _, history2 = fit_fold_parallel(cfg, fold_train, epochs=60,
+                                    valid_data=fold_valid,
+                                    experiment=experiment,
+                                    checkpoint_names=names,
+                                    seed=cfg.execution.seed)
+    experiment.flush_saves()
+    assert history2 == []                     # every fold stays frozen
+    for n in names:
+        meta = experiment.load_meta(n, tag="last")
+        assert meta["finished"] and meta["early_stopped"]
+        last2 = dict(np.load(experiment.checkpoint_path(n, tag="last")))
+        for key in last_npz1[n]:
+            np.testing.assert_array_equal(last_npz1[n][key], last2[key])
+
+
+def test_fold_parallel_resume_restores_schedule_lr(tmp_path):
+    """--resume carries each fold's schedule position: the restored
+    optimizer's injected lr seeds the post-resume epochs (regression:
+    lrs was re-initialized to training.lr and _set_fold_lrs clobbered
+    the restored exponential/plateau lr on the first resumed epoch)."""
+    cfg = _cfg()
+    cfg.training.lr_schedule = "exponential"
+    cfg.training.gamma = 0.5
+    bundle = synthetic_bundle(32, seed=23)
+    fold_train, fold_valid = _fold_splits(bundle)
+    names = ["network_fold_0", "network_fold_1"]
+    experiment = Experiment(str(tmp_path / "exp"))
+    fit_fold_parallel(cfg, fold_train, epochs=2, valid_data=fold_valid,
+                      experiment=experiment, checkpoint_names=names,
+                      seed=cfg.execution.seed)
+
+    cfg.execution.resume = True
+    _, history = fit_fold_parallel(cfg, fold_train, epochs=3,
+                                   valid_data=fold_valid,
+                                   experiment=experiment,
+                                   checkpoint_names=names,
+                                   seed=cfg.execution.seed)
+    assert history[0]["epoch"] == 2
+    # after 2 decayed epochs lr is lr0 * 0.5^2; a reset would show lr0
+    expected = cfg.training.lr * 0.25
+    for lr in history[0]["lr"]:
+        assert lr == pytest.approx(expected, rel=1e-6)
