@@ -46,7 +46,8 @@ def main(argv=None):
         "empty-train", "empty-evaluate", "empty-cv",
         "empty-evaluate-cv", "empty-evaluate-predict-cv",
         "stacking-cv", "full-solution", "serve", "verify-data",
-        "cost-analysis", "analyze", "ensemble", "data-stats"])
+        "cost-analysis", "analyze", "ensemble", "data-stats",
+        "augment-preview"])
     parser.add_argument("--workdir", default="output/full_solution",
                         help="full-solution: root dir for the "
                              "segmentation/emptiness/stacking stages")
@@ -113,6 +114,10 @@ def main(argv=None):
                              "(model.quant_bits=8)")
     parser.add_argument("--no-tta", action="store_true",
                         help="serve: plain single-pass inference")
+    parser.add_argument("--preview-images", type=int, default=6,
+                        help="augment-preview: number of source images")
+    parser.add_argument("--preview-samples", type=int, default=6,
+                        help="augment-preview: policy draws per image")
     parser.add_argument("--profile", default="", metavar="DIR",
                         help="capture a jax profiler trace of the run "
                              "into DIR (TensorBoard format)")
@@ -225,6 +230,22 @@ def main(argv=None):
                                  cfg.paths.depths_filepath)
         meta.to_csv(cfg.paths.metadata_filepath, index=None)
         print(f"metadata saved to {cfg.paths.metadata_filepath}")
+        return 0
+
+    if args.command == "augment-preview":
+        # the reference's augmentations notebook as a command: render
+        # the actual training policy (the augment_batch graph the train
+        # step runs) over sample images into a PNG grid
+        from salt_tpu.pipeline.preview import augment_preview
+        train_b, _ = _bundles(cfg, args.synthetic,
+                              args.synthetic_difficulty)
+        out = (args.out if args.out != "submission.csv"
+               else cfg.paths.experiment_dir + "/augment_preview.png")
+        path = augment_preview(train_b, out,
+                               n_images=args.preview_images,
+                               n_samples=args.preview_samples,
+                               seed=cfg.execution.seed)
+        print(f"augmentation preview saved to {path}")
         return 0
 
     if args.command == "data-stats":
