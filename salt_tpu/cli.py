@@ -105,8 +105,10 @@ def main(argv=None):
                              "experiment dir (fold checkpoints ensembled)")
     parser.add_argument("--images-dir", default="",
                         help="serve: directory of 101x101 PNGs")
-    parser.add_argument("--out", default="submission.csv",
-                        help="serve: output submission path")
+    parser.add_argument("--out", default=None,
+                        help="output path (serve/ensemble: submission CSV, "
+                             "default submission.csv; augment-preview: PNG, "
+                             "default <experiment_dir>/augment_preview.png)")
     parser.add_argument("--probs-out", default="",
                         help="serve: also write probabilities npz")
     parser.add_argument("--int8", action="store_true",
@@ -171,8 +173,10 @@ def main(argv=None):
         if args.int8:
             cfg.model.quant_bits = 8
         cfg.postpro.use_tta = not args.no_tta
-        print(serve(cfg, args.checkpoint, args.images_dir, args.out,
-                    args.probs_out, synthetic=args.synthetic))
+        print(serve(cfg, args.checkpoint, args.images_dir,
+                    args.out or "submission.csv",
+                    args.probs_out, synthetic=args.synthetic,
+                    synthetic_difficulty=args.synthetic_difficulty))
         return 0
 
     if args.command == "ensemble":
@@ -189,7 +193,7 @@ def main(argv=None):
         except Exception as e:   # scoring is optional; submission is not
             print(f"oof scoring skipped (no ground truth reachable: {e})")
         print(ensemble_experiments(
-            args.experiments, args.out,
+            args.experiments, args.out or "submission.csv",
             train_b, weights=args.weights, method=args.ensemble_method,
             threshold=cfg.postpro.threshold_masks))
         return 0
@@ -239,8 +243,7 @@ def main(argv=None):
         from salt_tpu.pipeline.preview import augment_preview
         train_b, _ = _bundles(cfg, args.synthetic,
                               args.synthetic_difficulty)
-        out = (args.out if args.out != "submission.csv"
-               else cfg.paths.experiment_dir + "/augment_preview.png")
+        out = args.out or cfg.paths.experiment_dir + "/augment_preview.png"
         path = augment_preview(train_b, out,
                                n_images=args.preview_images,
                                n_samples=args.preview_samples,
@@ -256,6 +259,18 @@ def main(argv=None):
         train_b, test_b = _bundles(cfg, args.synthetic,
                                    args.synthetic_difficulty)
         print(format_stats(bundle_stats(train_b, test_b)))
+        if args.stacking_experiments:
+            # stacking_data_exploration notebook parity: report the
+            # joined first-level oof cube (per-model probability stats,
+            # pairwise mask agreement, oof pixel accuracy)
+            from salt_tpu.data.stats import (format_stacking_stats,
+                                             stacking_stats)
+            from salt_tpu.pipeline.stacking import \
+                join_experiment_predictions
+            ids, cube = join_experiment_predictions(
+                args.stacking_experiments, "train")
+            print(format_stacking_stats(stacking_stats(
+                ids, cube, train_b, cfg.postpro.threshold_masks)))
         return 0
 
     if args.command == "analyze":

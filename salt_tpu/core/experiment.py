@@ -44,6 +44,7 @@ class Experiment:
         self.directory = directory
         self._ckpt_executor = None          # lazy single writer thread
         self._ckpt_futures: Dict[tuple, Any] = {}
+        self._ckpt_orphans: list = []       # superseded but already running
         if clone_from and not os.path.exists(directory):
             logger.info("cloning experiment dir from %s", clone_from)
             shutil.copytree(clone_from, directory)
@@ -130,21 +131,32 @@ class Experiment:
             self._ckpt_executor = concurrent.futures.ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="ckpt-writer")
         prev = self._ckpt_futures.get((name, tag))
-        if prev is not None:
-            prev.cancel()                   # supersede if not yet started
+        if prev is not None and not prev.cancel():
+            # already running/done: still await it at the next flush so a
+            # failed write in the durability layer can never vanish
+            self._ckpt_orphans.append(prev)
         self._ckpt_futures[(name, tag)] = self._ckpt_executor.submit(
             self.save_params, name, snap, tag, meta)
 
     def flush_saves(self) -> None:
         """Block until every pending async checkpoint write has landed
-        (cancelled = superseded ones excluded); re-raise writer errors."""
-        import concurrent.futures
-        futures = list(self._ckpt_futures.values())
+        (cancelled = superseded ones excluded); re-raise writer errors.
+        Awaits ALL futures before re-raising the first error, so one
+        failed write never abandons other pending writes unflushed."""
+        futures = list(self._ckpt_futures.values()) + self._ckpt_orphans
         self._ckpt_futures.clear()
+        self._ckpt_orphans.clear()
+        first_err = None
         for f in futures:
             if f.cancelled():
                 continue
-            f.result()
+            try:
+                f.result()
+            except Exception as e:
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
 
     def load_params(self, name: str, like: Any, tag: str = "best") -> Any:
         """Load params saved by :meth:`save_params`, restoring the structure

@@ -58,10 +58,69 @@ def bundle_stats(train: DataBundle,
         # does salt probability track depth? (the notebook eyeballs
         # this by browsing depth bands; the hard synthetic mode builds
         # the correlation in deliberately)
-        if z.std() > 0 and sizes.std() > 0:
+        has_salt = (sizes > 0).astype(np.float64)
+        # guard the variance of the actual correlate (the binary
+        # indicator) — an all-nonempty set has sizes.std() > 0 but a
+        # constant indicator, and corrcoef would emit nan
+        if z.std() > 0 and has_salt.std() > 0:
             report["depth_salt_correlation"] = float(
-                np.corrcoef(z, (sizes > 0).astype(np.float64))[0, 1])
+                np.corrcoef(z, has_salt)[0, 1])
     return report
+
+
+def stacking_stats(ids, cube: np.ndarray,
+                   train: Optional[DataBundle] = None,
+                   threshold: float = 0.5) -> Dict:
+    """First-level prediction-cube report — the reference's
+    `stacking_data_exploration` notebook (reference:
+    notebooks/stacking_data_exploration.ipynb, which browses the joined
+    oof cubes of utils.py:560-581) as numbers instead of eyeballs.
+
+    cube: [N, H, W, M] oof probabilities (one channel per first-level
+    experiment, `pipeline/stacking.py::join_experiment_predictions`).
+    Reports per-model probability stats, pairwise mask agreement at
+    ``threshold`` (ensembling only helps where members disagree), and —
+    when ground truth is supplied — each member's oof pixel accuracy."""
+    cube = np.asarray(cube, np.float64)
+    n, h, w, m = cube.shape
+    flat = cube.reshape(-1, m)                       # [N*H*W, M]
+    masks = flat > threshold
+    report: Dict = {"n_images": n, "n_models": m,
+                    "per_model": [{"prob_mean": float(flat[:, k].mean()),
+                                   "prob_std": float(flat[:, k].std()),
+                                   "positive_fraction":
+                                       float(masks[:, k].mean())}
+                                  for k in range(m)]}
+    if m > 1:
+        dis = [float((masks[:, a] != masks[:, b]).mean())
+               for a in range(m) for b in range(a + 1, m)]
+        report["pairwise_disagreement"] = {"mean": float(np.mean(dis)),
+                                           "max": float(np.max(dis))}
+    if train is not None and train.masks is not None:
+        id_to_row = {i: k for k, i in enumerate(train.meta["id"])}
+        rows = [id_to_row[i] for i in ids if i in id_to_row]
+        if len(rows) == n:
+            gt = (np.asarray(train.masks)[rows] > 0).reshape(-1, 1)
+            report["per_model_pixel_accuracy"] = [
+                float((masks[:, k:k + 1] == gt).mean()) for k in range(m)]
+    return report
+
+
+def format_stacking_stats(report: Dict) -> str:
+    lines = [f"stacking cube: {report['n_images']} images x "
+             f"{report['n_models']} first-level model(s)"]
+    for k, pm in enumerate(report["per_model"]):
+        acc = report.get("per_model_pixel_accuracy")
+        lines.append(f"  model {k}: prob mean={pm['prob_mean']:.3f} "
+                     f"std={pm['prob_std']:.3f} "
+                     f"positive={pm['positive_fraction']:.1%}"
+                     + (f" oof-pixel-acc={acc[k]:.1%}" if acc else ""))
+    if "pairwise_disagreement" in report:
+        pd_ = report["pairwise_disagreement"]
+        lines.append(f"  pairwise mask disagreement: mean={pd_['mean']:.2%}"
+                     f" max={pd_['max']:.2%} (ensembling only helps "
+                     "where members disagree)")
+    return "\n".join(lines)
 
 
 def format_stats(report: Dict) -> str:

@@ -57,6 +57,11 @@ def average_probabilities(stacked: np.ndarray,
     w = np.ones(m) if weights is None else np.asarray(weights, np.float64)
     if len(w) != m:
         raise ValueError(f"{len(w)} weights for {m} experiments")
+    if w.sum() <= 0 or (w < 0).any():
+        raise ValueError(
+            f"ensemble weights must be non-negative with a positive sum, "
+            f"got {w.tolist()} — a zero/negative normalizer would write "
+            "an all-NaN (all-empty-mask) submission")
     w = w / w.sum()
     if method == "mean":
         return np.tensordot(w, stacked, axes=1)

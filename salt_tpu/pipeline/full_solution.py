@@ -137,7 +137,13 @@ def run_full_solution(cfg: Config, workdir: str, train_b: DataBundle,
     if use_stacking:
         stack_cfg = _stage_config(cfg, workdir, "stacking")
         stack_exp = Experiment(stack_cfg.paths.experiment_dir)
-        if resume and _stage_complete(stack_exp, "stacking_cv_scores", ()):
+        # the submission CSV is written AFTER the scores JSON
+        # (stacking.py:142-148), so the resume check must require both —
+        # a crash in that window must re-run the stage, not skip it
+        stack_submission_ok = (test_b is None or os.path.exists(
+            os.path.join(stack_exp.directory, "stacking_submission.csv")))
+        if (resume and stack_submission_ok
+                and _stage_complete(stack_exp, "stacking_cv_scores", ())):
             stack_scores = stack_exp.load_json("stacking_cv_scores")
             logger.info("resume: stacking stage already complete, "
                         "loaded stacking_cv_scores")

@@ -99,7 +99,8 @@ def _load_flat_npz(path: str, like):
 
 def serve(config: Config, checkpoint: str, images_dir: str,
           out_csv: str = "submission.csv", probs_out: str = "",
-          synthetic: int = 0, chunk_size: int = 8192) -> dict:
+          synthetic: int = 0, chunk_size: int = 8192,
+          synthetic_difficulty: str = "easy") -> dict:
     """Run the full inference stack and write the submission. Returns
     {"n": N, "images_per_sec": float, "submission": path}.
 
@@ -113,7 +114,8 @@ def serve(config: Config, checkpoint: str, images_dir: str,
     if synthetic:
         from salt_tpu.data.bundle import synthetic_bundle
         b = synthetic_bundle(synthetic, seed=config.execution.seed,
-                             with_masks=False)
+                             with_masks=False,
+                             difficulty=synthetic_difficulty)
         ids, paths = b.meta["id"].tolist(), None
         mem_images = b.images
         ckpts: List[str] = []

@@ -153,6 +153,45 @@ def test_async_checkpoint_save_and_supersede(tmp_path):
     assert exp.load_meta("net", tag="last")["epoch"] == 4
 
 
+def test_async_checkpoint_flush_surfaces_all_failures(tmp_path,
+                                                      monkeypatch):
+    """flush_saves awaits EVERY pending write (including superseded
+    ones already running) before re-raising the first error — a failed
+    background write in the durability layer must never vanish, and one
+    failure must not abandon other pending writes unflushed."""
+    import threading
+
+    import numpy as np
+
+    from salt_tpu.core.experiment import Experiment
+    exp = Experiment(str(tmp_path / "e"))
+    release = threading.Event()
+    orig_save = Experiment.save_params
+
+    def slow_save(self, name, params, tag="best", meta=None):
+        if tag == "fail":
+            release.wait(5.0)
+            raise OSError("disk full (injected)")
+        return orig_save(self, name, params, tag=tag, meta=meta)
+
+    monkeypatch.setattr(Experiment, "save_params", slow_save)
+    one = {"params": {"w": np.ones(2, np.float32)}}
+    exp.save_params_async("net", one, tag="fail")
+    # supersede while the first write is RUNNING (blocked on the event):
+    # cancel() fails, the running future must become an awaited orphan
+    exp.save_params_async("net", one, tag="fail")
+    exp.save_params_async("net", one, tag="last")   # independent write
+    release.set()
+    import pytest
+    with pytest.raises(OSError, match="disk full"):
+        exp.flush_saves()
+    # the error did not abandon the independent write: it landed
+    monkeypatch.setattr(Experiment, "save_params", orig_save)
+    assert exp.has_checkpoint("net", tag="last")
+    # and the failure is not re-raised forever (queue was drained)
+    exp.flush_saves()
+
+
 def test_async_checkpoint_sync_kill_switch(tmp_path, monkeypatch):
     import numpy as np
     from salt_tpu.core.experiment import Experiment

@@ -56,6 +56,12 @@ def test_average_probabilities_mean_gmean_weights():
         average_probabilities(stacked, weights=[1])
     with pytest.raises(ValueError):
         average_probabilities(stacked, method="median")
+    # degenerate weights would normalize by <= 0 and write an all-NaN
+    # (all-empty-mask) submission — must refuse loudly
+    with pytest.raises(ValueError, match="non-negative"):
+        average_probabilities(stacked, weights=[0, 0])
+    with pytest.raises(ValueError, match="non-negative"):
+        average_probabilities(stacked, weights=[1, -1])
 
 
 def test_ensemble_writes_submission_and_scores(two_experiments, tmp_path):

@@ -127,6 +127,38 @@ def test_resume_skips_completed_stages(solution_dirs):
         assert os.path.getmtime(p) == before, f"stage retrained: {p}"
 
 
+def test_resume_reruns_stacking_if_submission_missing(solution_dirs):
+    """stacking_cv_scores.json is written BEFORE stacking_submission.csv
+    (stacking.py:142-148); a crash in that window must make --resume
+    re-run the stacking stage, not skip it with the submission absent."""
+    from salt_tpu.core.config import default_config
+    from salt_tpu.data.bundle import synthetic_bundle
+    from salt_tpu.pipeline.full_solution import run_full_solution
+
+    w = solution_dirs
+    sub = f"{w}/stacking/stacking_submission.csv"
+    assert os.path.exists(sub)
+    os.remove(sub)                      # simulate the crash window
+
+    cfg = default_config()
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 2
+    cfg.training.epochs = 1
+    cfg.training.batch_size_train = 8
+    cfg.training.batch_size_inference = 8
+    cfg.training.dtype = "float32"
+    cfg.execution.n_cv_splits = 2
+    cfg.execution.resume = True
+    cfg.paths.experiment_dir = f"{w}/unused"
+    train_b = synthetic_bundle(32, seed=cfg.execution.seed)
+    test_b = synthetic_bundle(8, seed=cfg.execution.seed + 1,
+                              with_masks=False)
+    results = run_full_solution(cfg, w, train_b, test_b)
+    assert results["stacking"] is not None
+    assert os.path.exists(sub)          # stage re-ran and rewrote it
+
+
 def test_oof_gating_delta_is_measured(solution_dirs):
     """run_full_solution now scores ungated-vs-gated IOUT on the oof
     TRAIN predictions (where ground truth exists) — the gating stage's
