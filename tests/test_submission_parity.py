@@ -1,0 +1,165 @@
+"""End-to-end submission parity vs a live torch reference evaluation
+(BASELINE.md target 3: "bit-comparable binarized masks and submission
+CSVs vs. the PyTorch reference on the deterministic inference path").
+
+The flagship golden (test_flagship_golden.py) pins network LOGITS.
+This test pins the WHOLE deterministic inference pipeline: the repo's
+`pipeline.api.predict` (checkpoint load -> fused pad/normalize/depth
+preprocessing -> forward -> sigmoid -> [TTA aggregate] -> crop-back ->
+threshold -> RLE -> submission.csv; reference: main.py:540-575) against
+an independent torch+numpy re-enactment of the reference's contract:
+
+- preprocessing per loaders.py:607-612 + pad_to_fit_net (main.py:
+  135-138): /255, edge-pad 101->128 with the 13/14/14/13 asymmetry
+  (utils.py:308-313), ImageNet-normalize, AddDepthChannels row ramp
+  (utils.py:494-503);
+- the torch forward from test_flagship_golden (reference semantics:
+  asymmetric replication pad, align-corners upsample);
+- hflip TTA on the raw uint8 inputs, probability mean BEFORE crop
+  (loaders.py:662-678,728-735);
+- crop-back 128->101 (postprocessing.py:24-38), channel-1 threshold
+  (postprocessing.py:41-43);
+- an INDEPENDENT reference-style python-loop RLE encoder
+  (utils.py:99-111) and hand-built CSV text (utils.py:68-75).
+
+Masks must be BIT-EQUAL and the submission.csv BYTE-EQUAL. Bit-equality
+across frameworks is only meaningful when no probability sits closer to
+the 0.5 threshold than the cross-framework numeric delta, so the test
+first PROVES that margin on these seeds (if a jax/torch version bump
+ever shrinks the margin below the delta, the margin assert — not the
+mask compare — fails, with instructions).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from test_flagship_golden import fake_unet_resnet18_sd, torch_unet_resnet18_logits
+
+from salt_tpu.core.experiment import Experiment
+from salt_tpu.data.bundle import synthetic_bundle
+from salt_tpu.models.torch_import import convert_unet_resnet, graft_model
+from salt_tpu.pipeline import api
+
+
+# -- torch+numpy re-enactment of the reference's deterministic path --------
+
+def _reference_preprocess(images_u8: np.ndarray) -> np.ndarray:
+    """uint8 [N,101,101] -> float32 NCHW [N,3,128,128] per the reference
+    inference loader (loaders.py:607-612, utils.py:308-313,494-503)."""
+    x = images_u8.astype(np.float32) / 255.0
+    # 101 -> 128: total pad 27 -> top 13, bottom 14, left 14, right 13
+    x = np.pad(x, ((0, 0), (13, 14), (14, 13)), mode="edge")
+    x = (x - 0.485) / 0.229
+    ramp = np.broadcast_to(
+        np.linspace(0.0, 1.0, 128, dtype=np.float32)[None, :, None], x.shape)
+    return np.stack([x, ramp, x * ramp], axis=1).astype(np.float32)
+
+
+def _torch_probs_128(sd, images_u8: np.ndarray, lr_flip: bool) -> np.ndarray:
+    """One TTA branch: (flip raw uint8) -> preprocess -> forward ->
+    sigmoid -> (inverse flip), in 128x128 network space."""
+    imgs = images_u8[..., :, ::-1] if lr_flip else images_u8
+    inp = _reference_preprocess(np.ascontiguousarray(imgs))
+    with torch.no_grad():
+        logits = torch_unet_resnet18_logits(sd, torch.from_numpy(inp))
+    probs = torch.sigmoid(logits).numpy()                 # [N,2,128,128]
+    return probs[..., :, ::-1] if lr_flip else probs
+
+
+def _crop_101(probs: np.ndarray) -> np.ndarray:
+    """128 -> 101 crop, inverse of the pad asymmetry
+    (reference: postprocessing.py:24-38)."""
+    return probs[..., 13:114, 14:115]
+
+
+def _reference_rle(mask: np.ndarray) -> str:
+    """Reference-style python-loop RLE (utils.py:99-111): column-major,
+    1-indexed (start, length) pairs — independent of ops/rle.py."""
+    flat = (np.asarray(mask) != 0).T.reshape(-1)
+    runs, start = [], None
+    for pos, v in enumerate(flat):
+        if v and start is None:
+            start = pos
+        elif not v and start is not None:
+            runs += [start + 1, pos - start]
+            start = None
+    if start is not None:
+        runs += [start + 1, len(flat) - start]
+    return " ".join(str(r) for r in runs)
+
+
+def _reference_csv(ids, masks) -> str:
+    """Hand-built `id,rle_mask` CSV text (reference: utils.py:68-75),
+    independent of pandas to_csv / ops.rle.create_submission."""
+    lines = ["id,rle_mask"]
+    lines += [f"{i},{_reference_rle(m)}" for i, m in zip(ids, masks)]
+    return "\n".join(lines) + "\n"
+
+
+# -- the parity test --------------------------------------------------------
+
+@pytest.mark.parametrize("use_tta", [False, True],
+                         ids=["deterministic", "hflip-tta"])
+def test_submission_bitwise_matches_torch_reference(tmp_path, cpu_config,
+                                                    use_tta):
+    cfg = cpu_config
+    cfg.model.architecture = "UNetResNet"
+    cfg.model.encoder_depth = 18
+    cfg.model.conv_pad_mode = "reference"
+    cfg.model.upsample_mode = "align_corners"
+    cfg.model.dropout_2d = 0.0
+    cfg.postpro.use_tta = use_tta
+    cfg.training.dtype = "float32"
+
+    sd = fake_unet_resnet18_sd(seed=0)
+    bundle = synthetic_bundle(6, seed=3, with_masks=False)
+
+    # graft the torch weights into a persisted "best" checkpoint, then
+    # run the repo's REAL predict entry point (checkpoint resolution,
+    # fused scan inference, submission writing — pipeline/api.py:258-273)
+    from salt_tpu.train.steps import SegmentationRunner
+    runner = SegmentationRunner(cfg)
+    state = runner.init_state(cfg.execution.seed)
+    variables = {
+        "params": jax_to_np(state.params),
+        "batch_stats": jax_to_np(state.batch_stats),
+    }
+    params, stats = convert_unet_resnet(sd)
+    grafted = graft_model(variables, params, stats)
+    experiment = Experiment(str(tmp_path / "exp"))
+    experiment.save_params("network", grafted)
+
+    salt_probs = api.predict(cfg, experiment, bundle)      # [N,2,101,101]
+    submission_path = experiment.directory + "/submission.csv"
+
+    # independent torch re-enactment of the same contract
+    imgs = bundle.images
+    t_probs = _torch_probs_128(sd, imgs, lr_flip=False)
+    if use_tta:
+        t_probs = (t_probs + _torch_probs_128(sd, imgs, lr_flip=True)) / 2.0
+    t_probs = _crop_101(t_probs)
+
+    delta = float(np.abs(salt_probs - t_probs).max())
+    margin = float(np.abs(t_probs[:, 1] - 0.5).min())
+    assert delta < 1e-4, f"probability delta vs torch too large: {delta}"
+    assert margin > delta, (
+        f"threshold margin {margin} <= cross-framework delta {delta}: "
+        "bit-equality is not decidable on this seed — pick a new "
+        "synthetic_bundle/state_dict seed so no probability sits within "
+        "the numeric delta of 0.5")
+
+    salt_masks = (salt_probs[:, 1] > 0.5).astype(np.uint8)
+    torch_masks = (t_probs[:, 1] > 0.5).astype(np.uint8)
+    assert (salt_masks > 0).any() and (salt_masks == 0).any()
+    np.testing.assert_array_equal(salt_masks, torch_masks)
+
+    with open(submission_path, encoding="utf-8") as f:
+        got_csv = f.read()
+    want_csv = _reference_csv(bundle.meta["id"].tolist(), torch_masks)
+    assert got_csv == want_csv
+
+
+def jax_to_np(tree):
+    import jax
+    return jax.tree.map(np.asarray, tree)
