@@ -319,10 +319,18 @@ def main(argv=None):
         from salt_tpu.train.steps import SegmentationRunner
         from salt_tpu.train.trace import trace_steps
         runner = SegmentationRunner(cfg)
+        # round the traced batch to a mesh-device multiple (the same
+        # rule fit() applies, train/loop.py) — shard_batch requires the
+        # leading axis divisible by the device count; tile tiny bundles
+        # up rather than crash
+        n_dev = runner.mesh.devices.size
         bs = min(cfg.training.batch_size_train, len(train_b))
+        bs = max(bs // n_dev, 1) * n_dev
+        take = lambda a: (a[:bs] if len(a) >= bs
+                          else np.resize(a, (bs,) + a.shape[1:]))
         timings = trace_steps(
-            runner, train_b.images[:bs], train_b.masks[:bs],
-            train_b.depths[:bs] if runner.use_depth else None,
+            runner, take(train_b.images), take(train_b.masks),
+            take(train_b.depths) if runner.use_depth else None,
             out_path=experiment.directory + "/channels_trace.jsonl")
         print("trace-steps (ms/step):",
               {k: round(v, 2) for k, v in timings.items()})

@@ -192,9 +192,17 @@ def _load_last_stacked(fp: FoldParallelRunner, experiment, names,
     async save skew can leave one fold a cadence behind), and collapsing
     them to a single min() was measured wrong: it re-applied already-run
     epochs on top of ahead folds' restored states."""
-    like = fp.fold_state(template_states, 0)
     fold_states, next_epochs, metas = [], [], []
-    for name in names:
+    for i, name in enumerate(names):
+        like = fp.fold_state(template_states, i)
+        if not experiment.has_checkpoint(name, tag="last"):
+            # partial resume: this fold never reached a 'last' save —
+            # start it fresh (epoch 0) while siblings restore; the
+            # active-mask catch-up logic handles the epoch skew
+            fold_states.append(like)
+            next_epochs.append(0)
+            metas.append(None)
+            continue
         like_dict = {"params": like.params, "batch_stats": like.batch_stats,
                      "opt_state": like.opt_state, "step": like.step}
         restored = experiment.load_params(name, like_dict, tag="last")
@@ -283,8 +291,12 @@ def fit_fold_parallel(config: Config, fold_data: List[Tuple[np.ndarray,
     resume_meta: List[Optional[dict]] = [None] * k
     if (cfg.execution.resume and experiment is not None
             and checkpoint_names is not None
-            and all(experiment.has_checkpoint(n, tag="last")
+            and any(experiment.has_checkpoint(n, tag="last")
                     for n in checkpoint_names)):
+        # partial resume is fine: folds WITH a 'last' checkpoint restore
+        # (finished ones freeze below), folds without start fresh at
+        # epoch 0 — an early-stopped fold must never retrain just
+        # because a sibling crashed before its first cadence save
         states, next_epochs, metas = _load_last_stacked(
             fp, experiment, checkpoint_names, states)
         resume_from = np.asarray(next_epochs)

@@ -92,6 +92,9 @@ def analyze_predictions(ids: Sequence[str], probs: np.ndarray,
 
     curve = {}
     for t in thresholds:
+        if t == threshold:       # already scored above — skip the O(N)
+            curve[f"{t:.2f}"] = float(iouts.mean())
+            continue
         _, tis = _per_image_scores(y_true, (fg > t).astype(np.uint8))
         curve[f"{t:.2f}"] = float(np.mean(tis))
 

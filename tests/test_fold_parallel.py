@@ -412,6 +412,55 @@ def test_fold_parallel_resume_freezes_early_stopped_folds(tmp_path):
             np.testing.assert_array_equal(last_npz1[n][key], last2[key])
 
 
+def test_fold_parallel_partial_resume_keeps_finished_fold(tmp_path):
+    """A crash can land between one fold's clean early stop (its 'last'
+    meta is written immediately) and a sibling's first cadence 'last'
+    save. Resume must still freeze the finished fold — gating ALL
+    per-fold recovery on every fold having a 'last' checkpoint
+    (regression) retrained the finished fold from scratch and
+    overwrote its checkpoints."""
+    import shutil
+
+    cfg = _cfg()
+    cfg.training.patience = 0
+    bundle = synthetic_bundle(32, seed=19)
+    fold_train, fold_valid = _fold_splits(bundle)
+    names = ["network_fold_0", "network_fold_1"]
+    experiment = Experiment(str(tmp_path / "exp"))
+    _, history1 = fit_fold_parallel(cfg, fold_train, epochs=30,
+                                    valid_data=fold_valid,
+                                    experiment=experiment,
+                                    checkpoint_names=names,
+                                    seed=cfg.execution.seed)
+    assert len(history1) < 30, "early stopping never fired"
+    experiment.flush_saves()
+    # simulate the crash window: fold 1 never reached a checkpoint save
+    shutil.rmtree(experiment.checkpoint_dir(names[1]))
+    fold0_last = dict(np.load(experiment.checkpoint_path(names[0],
+                                                         tag="last")))
+    fold0_best = dict(np.load(experiment.checkpoint_path(names[0])))
+
+    cfg.execution.resume = True
+    _, history2 = fit_fold_parallel(cfg, fold_train, epochs=2,
+                                    valid_data=fold_valid,
+                                    experiment=experiment,
+                                    checkpoint_names=names,
+                                    seed=cfg.execution.seed)
+    experiment.flush_saves()
+    assert history2, "the fresh fold must train on resume"
+    # fold 0 stayed frozen: checkpoints byte-identical, meta intact
+    meta0 = experiment.load_meta(names[0], tag="last")
+    assert meta0["finished"] and meta0["early_stopped"]
+    for tag, before in (("last", fold0_last), ("best", fold0_best)):
+        after = dict(np.load(experiment.checkpoint_path(names[0],
+                                                        tag=tag)))
+        for key in before:
+            np.testing.assert_array_equal(before[key], after[key])
+    # fold 1 retrained from scratch and persisted fresh checkpoints
+    assert experiment.has_checkpoint(names[1])
+    assert experiment.load_meta(names[1], tag="last").get("finished")
+
+
 def test_fold_parallel_resume_restores_schedule_lr(tmp_path):
     """--resume carries each fold's schedule position: the restored
     optimizer's injected lr seeds the post-resume epochs (regression:
