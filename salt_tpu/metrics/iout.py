@@ -138,3 +138,29 @@ def batch_scores(gt: np.ndarray, pred: np.ndarray):
     """Host convenience: returns (mean IoU, mean IOUT) floats."""
     per_iou, per_iout = batch_iou_iout(jnp.asarray(gt), jnp.asarray(pred))
     return float(jnp.mean(per_iou)), float(jnp.mean(per_iout))
+
+
+def batch_iou_iout_np(gt: np.ndarray, pred: np.ndarray):
+    """Numpy twin of :func:`batch_iou_iout`: per-image (iou[B], iout[B])
+    in one vectorized pass, float64, NO device claim.
+
+    Bit-identical to the per-image reference loop
+    (:func:`compute_ious` / :func:`compute_eval_metric`) on binary masks
+    — same float64 inter/union arithmetic, same empty-mask edge cases
+    (reference: metrics.py:25-34) — so `analyze` can score 18k-image
+    test sets in one pass next to a live TPU process
+    (tests/test_analysis.py::test_vectorized_scores_match_per_image)."""
+    gt = np.asarray(gt) > 0
+    pred = np.asarray(pred) > 0
+    n = gt.shape[0]
+    g = gt.reshape(n, -1)
+    p = pred.reshape(n, -1)
+    inter = (g & p).sum(axis=1, dtype=np.float64)
+    union = (g | p).sum(axis=1, dtype=np.float64)
+    both_empty = ~g.any(axis=1) & ~p.any(axis=1)
+    iou_val = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+    per_iou = np.where(both_empty, 1.0, iou_val)
+    th = np.asarray(IOUT_THRESHOLDS, dtype=np.float64)
+    hits = (iou_val[:, None] >= th[None, :]).mean(axis=1)
+    per_iout = np.where(both_empty, 1.0, hits)
+    return per_iou, per_iout

@@ -19,7 +19,8 @@ import numpy as np
 from salt_tpu.core.experiment import Experiment
 from salt_tpu.core.logging import get_logger
 from salt_tpu.data.bundle import DataBundle
-from salt_tpu.metrics.iout import compute_eval_metric, compute_ious
+from salt_tpu.metrics.iout import (batch_iou_iout_np, compute_eval_metric,
+                                   compute_ious)
 
 logger = get_logger()
 
@@ -37,6 +38,9 @@ DEFAULT_THRESHOLDS = tuple(np.arange(0.30, 0.71, 0.05).round(2))
 
 def _per_image_scores(y_true: np.ndarray, y_pred: np.ndarray
                       ) -> (List[float], List[float]):
+    """Reference-semantics per-image loop. Kept as the parity oracle for
+    the vectorized path (tests/test_analysis.py); production scoring
+    goes through batch_iou_iout_np — one pass, no O(N) Python loop."""
     ious, iouts = [], []
     for t, p in zip(y_true, y_pred):
         m = compute_ious(t, p)
@@ -67,8 +71,7 @@ def analyze_predictions(ids: Sequence[str], probs: np.ndarray,
     fg = probs[:, 1]
 
     y_pred = (fg > threshold).astype(np.uint8)
-    ious, iouts = _per_image_scores(y_true, y_pred)
-    ious, iouts = np.array(ious), np.array(iouts)
+    ious, iouts = batch_iou_iout_np(y_true, y_pred)
     n = len(ids)
     sizes = y_true.reshape(n, -1).sum(axis=1)
 
@@ -92,10 +95,10 @@ def analyze_predictions(ids: Sequence[str], probs: np.ndarray,
 
     curve = {}
     for t in thresholds:
-        if t == threshold:       # already scored above — skip the O(N)
+        if np.isclose(t, threshold):   # already scored above
             curve[f"{t:.2f}"] = float(iouts.mean())
             continue
-        _, tis = _per_image_scores(y_true, (fg > t).astype(np.uint8))
+        _, tis = batch_iou_iout_np(y_true, fg > t)
         curve[f"{t:.2f}"] = float(np.mean(tis))
 
     return {"n_images": n, "threshold": float(threshold),

@@ -100,18 +100,29 @@ def _load_flat_npz(path: str, like):
 class _ProbsWriter:
     """Stream the float16 probability archive to disk chunk-by-chunk.
 
-    Produces a ``np.load``-compatible npz (zip of npy members: ``ids``,
-    ``probs``) without ever holding the full [N, H, W] probability cube
-    in host RAM — the streaming-serve RAM bound (chunk-sized, not
-    dataset-sized) holds for --probs-out runs too. The ``probs`` member
-    header carries the final shape up front (N is known from the image
-    listing), so each chunk appends raw bytes."""
+    Produces a ``np.load``-compatible npz (DEFLATE-compressed zip of npy
+    members: ``ids``, ``probs``, matching ``np.savez_compressed``'s
+    format and its append-``.npz``-when-missing naming) without ever
+    holding the full [N, H, W] probability cube in host RAM — the
+    streaming-serve RAM bound (chunk-sized, not dataset-sized) holds for
+    --probs-out runs too. The ``probs`` member header carries the final
+    shape up front (N is known from the image listing), so each chunk
+    appends raw bytes.
+
+    Exception-safe: any failure mid-serve must call :meth:`abort`
+    (serve() wraps the chunk loop in try/except) which closes the
+    handles and deletes the partial archive instead of leaving a
+    silently corrupt file; :meth:`close` raises if the stream is
+    incomplete."""
 
     def __init__(self, path: str, ids: Sequence[str],
                  hw: Tuple[int, int]):
         import zipfile
         from numpy.lib import format as npy_format
-        self._zf = zipfile.ZipFile(path, "w", zipfile.ZIP_STORED,
+        if not path.endswith(".npz"):    # np.savez naming contract
+            path += ".npz"
+        self.path = path
+        self._zf = zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED,
                                    allowZip64=True)
         with self._zf.open("ids.npy", "w") as f:
             npy_format.write_array(f, np.asarray(ids, dtype=object),
@@ -124,12 +135,26 @@ class _ProbsWriter:
         self._remaining = len(ids)
 
     def append(self, chunk: np.ndarray):
-        assert chunk.dtype == np.float16
+        if chunk.dtype != np.float16:
+            raise TypeError(f"probs chunk must be float16, got {chunk.dtype}")
         self._remaining -= chunk.shape[0]
         self._f.write(np.ascontiguousarray(chunk).tobytes())
 
+    def abort(self):
+        """Close handles and delete the partial archive (failure path)."""
+        try:
+            self._f.close()
+            self._zf.close()
+        finally:
+            if os.path.exists(self.path):
+                os.remove(self.path)
+
     def close(self):
-        assert self._remaining == 0, "probs archive is incomplete"
+        if self._remaining != 0:
+            self.abort()
+            raise RuntimeError(
+                f"probs archive incomplete: {self._remaining} rows short "
+                f"— partial file {self.path!r} deleted")
         self._f.close()
         self._zf.close()
 
@@ -246,8 +271,8 @@ def serve(config: Config, checkpoint: str, images_dir: str,
         return (imgs_d.reshape(nb, bs, h_img, w_img),
                 dd.reshape(nb, bs, 1), n_pad)
 
-    def run_chunk(count: int, imgs: np.ndarray, prepared=None):
-        imgs_b, d_b, n_pad = prepared or prepare(count, imgs)
+    def run_chunk(count: int, imgs: np.ndarray):
+        imgs_b, d_b, n_pad = prepare(count, imgs)
         acc = None
         for state in states:
             p = run_model(state.params, state.batch_stats, imgs_b, d_b)
@@ -259,31 +284,39 @@ def serve(config: Config, checkpoint: str, images_dir: str,
         return packed, p16
 
     gen = chunks()
-    first = prepared0 = None
+    first = None
     if n <= 4096:
-        # small/benchmark datasets: compile outside the timer on the
-        # FIRST CHUNK'S REAL [nb, bs] layout (a different nb would
-        # retrace inside the timer); the decoded + device-resident chunk
-        # is reused below (one H2D, not two). Production-size runs
-        # amortize the one-time compile instead.
+        # small/benchmark datasets: WARM THE COMPILE outside the timer on
+        # the first chunk's real [nb, bs] layout (a different nb would
+        # retrace inside the timer), then DISCARD the device arrays: the
+        # timed loop below re-runs prepare()+H2D for the first chunk so
+        # dt covers host prep + transfer + compute for every chunk —
+        # comparable round-over-round (r2 semantics; the decoded numpy
+        # chunk is reused, decode was never in r2's timed window either).
+        # Production-size runs amortize the one-time compile instead.
         first = next(gen)
-        prepared0 = prepare(*first)
+        imgs_w, d_w, _ = prepare(*first)
         s0 = states[0]
         np.asarray(run_model(s0.params, s0.batch_stats,
-                             prepared0[0], prepared0[1])[0, 0, 0, 0])
+                             imgs_w, d_w)[0, 0, 0, 0])
+        del imgs_w, d_w
 
     import itertools
     t0 = time.perf_counter()
     packed_parts = []
     prob_writer = _ProbsWriter(probs_out, ids, (h_img, w_img)) \
         if probs_out else None
-    for count, imgs in (itertools.chain([first], gen) if first is not None
-                        else gen):
-        packed, p16 = run_chunk(count, imgs, prepared=prepared0)
-        prepared0 = None                    # only valid for the first chunk
-        packed_parts.append(packed)
+    try:
+        for count, imgs in (itertools.chain([first], gen)
+                            if first is not None else gen):
+            packed, p16 = run_chunk(count, imgs)
+            packed_parts.append(packed)
+            if prob_writer is not None:
+                prob_writer.append(p16)
+    except BaseException:
         if prob_writer is not None:
-            prob_writer.append(p16)
+            prob_writer.abort()
+        raise
     masks_packed = np.concatenate(packed_parts, axis=0)
     dt = time.perf_counter() - t0
     ips = n * n_models / dt
@@ -297,6 +330,8 @@ def serve(config: Config, checkpoint: str, images_dir: str,
     logger.info("served %d images at %.0f img/s -> %s", n, ips, out_csv)
     result = {"n": n, "images_per_sec": round(ips, 1),
               "submission": out_csv}
+    if prob_writer is not None:
+        result["probs_out"] = prob_writer.path
     if config.model.quant_bits and ckpts:
         # int8 provenance: checkpoint hashes + matching gate artifacts
         # land next to the submission (pipeline/quality.py)

@@ -69,6 +69,38 @@ def test_analyze_experiment_picks_artifact_and_persists(tmp_path, bundle):
     assert "overall" in txt and "empty-image confusion" in txt
 
 
+def test_vectorized_scores_match_per_image(bundle):
+    """The one-pass numpy scorer (batch_iou_iout_np) must reproduce the
+    reference-semantics per-image loop bit-for-bit — including empty-mask
+    edge cases and exact-threshold IoUs (VERDICT r3 #6: analyze now
+    scores 18k-image sets in one pass, not O(N) Python loops)."""
+    from salt_tpu.metrics.iout import batch_iou_iout_np
+    from salt_tpu.pipeline.analysis import _per_image_scores
+    rng = np.random.default_rng(7)
+    y_true = bundle.masks.astype(np.uint8)
+    # a mix: noisy predictions, exact copies, all-empty, all-full
+    y_pred = (rng.random(y_true.shape) > 0.5).astype(np.uint8) & y_true
+    y_pred[0] = y_true[0]
+    y_pred[1] = 0
+    y_pred[2] = 1
+    ref_iou, ref_iout = _per_image_scores(y_true, y_pred)
+    vec_iou, vec_iout = batch_iou_iout_np(y_true, y_pred)
+    np.testing.assert_array_equal(np.asarray(ref_iou), vec_iou)
+    np.testing.assert_array_equal(np.asarray(ref_iout), vec_iout)
+
+
+def test_threshold_curve_isclose_skip():
+    """A user threshold like 1/3 in the sweep grid must still hit the
+    skip path via isclose, and off-grid thresholds must score correctly
+    (ADVICE r3: exact float equality was fragile)."""
+    b = synthetic_bundle(8, seed=5)
+    probs = _probs_from_gt(b.masks)
+    t = 1.0 / 3.0
+    rep = analyze_predictions(b.meta["id"].tolist(), probs, b,
+                              threshold=t, thresholds=(t, 0.5))
+    assert rep["threshold_curve"][f"{t:.2f}"] == rep["overall"]["iout"]
+
+
 def test_analyze_missing_artifact_raises(tmp_path, bundle):
     with pytest.raises(FileNotFoundError):
         analyze_experiment(Experiment(str(tmp_path / "none")), bundle)

@@ -234,6 +234,53 @@ def test_serve_int8_cli_flag(tmp_path, cpu_config):
     assert diff.max() < 0.15, f"int8 diverges too far: {diff.max()}"
 
 
+def test_probs_writer_appends_npz_and_compresses(tmp_path, cpu_config):
+    """ADVICE r3: the archive must honor np.savez_compressed's contract
+    — append '.npz' to extension-less paths and DEFLATE-compress the
+    members."""
+    cfg = cpu_config
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 3
+    cfg.training.dtype = "float32"
+    cfg.training.batch_size_inference = 8
+    bare = str(tmp_path / "probs")          # no extension
+    result = serve(cfg, checkpoint="", images_dir="",
+                   out_csv=str(tmp_path / "s.csv"), probs_out=bare,
+                   synthetic=8)
+    assert result["probs_out"] == bare + ".npz"
+    assert not os.path.exists(bare)
+    data = np.load(bare + ".npz", allow_pickle=True)
+    assert data["probs"].shape == (8, 101, 101)
+    import zipfile
+    with zipfile.ZipFile(bare + ".npz") as zf:
+        info = {i.filename: i for i in zf.infolist()}
+        assert info["probs.npy"].compress_type == zipfile.ZIP_DEFLATED
+
+
+def test_probs_writer_failure_deletes_partial(tmp_path):
+    """ADVICE r3: a mid-serve failure must not leave a silently corrupt
+    partial archive; close() on an incomplete stream must raise (not a
+    strippable assert) and clean up."""
+    from salt_tpu.pipeline.serving import _ProbsWriter
+    path = str(tmp_path / "p.npz")
+    w = _ProbsWriter(path, ["a", "b", "c"], (101, 101))
+    w.append(np.zeros((1, 101, 101), np.float16))
+    with pytest.raises(RuntimeError, match="incomplete"):
+        w.close()
+    assert not os.path.exists(path)
+    # abort() path: explicit cleanup mid-stream
+    w2 = _ProbsWriter(path, ["a", "b"], (101, 101))
+    w2.append(np.zeros((1, 101, 101), np.float16))
+    w2.abort()
+    assert not os.path.exists(path)
+    # wrong dtype is a real error, not a -O-strippable assert
+    w3 = _ProbsWriter(path, ["a"], (101, 101))
+    with pytest.raises(TypeError, match="float16"):
+        w3.append(np.zeros((1, 101, 101), np.float32))
+    w3.abort()
+
+
 def test_serve_dataset_smaller_than_batch(tmp_path, cpu_config):
     # regression: warmup used imgs[:bs] unpadded and crashed on reshape
     # whenever n < batch_size_inference
