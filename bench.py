@@ -1,6 +1,6 @@
 """Benchmark harness: end-to-end TTA inference throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
 Measured path: the production flagship (UNetResNet34 + scSE decoders +
@@ -9,19 +9,37 @@ deterministic inference graph per image: uint8 -> pad 101->128 ->
 normalize+depth-channels -> forward -> sigmoid -> hflip-TTA average ->
 crop back to 101. The reference runs this as many separate numpy/python
 passes (main.py:396-442). Baseline target: 5000 images/sec/chip
-(BASELINE.md rebuild target). Extra context metrics go to stderr.
+(BASELINE.md rebuild target).
+
+Context metrics (train step, bf16-vs-int8 TTA, SaltUNet student, serve
+rate, multichip probe) are emitted as STRUCTURED JSON LINES on stderr —
+`{"context": name, "value": N, "unit": u, ...}` — and the full table is
+written to bench_context.json, so round-over-round movement is diffable
+without parsing logs (VERDICT r3 #7). `SALT_TPU_BENCH_FAST=1` skips the
+context extras (headline + train only).
 
 Timing notes (this environment): block_until_ready does not guarantee
 completion through the axon relay — a D2H readback is forced per
 measurement window.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 5000.0
+
+_CONTEXT = {}
+
+
+def context(name, value, unit, **extra):
+    """Record + emit one structured context metric (stderr JSON line)."""
+    rec = {"context": name, "value": round(float(value), 1), "unit": unit}
+    rec.update(extra)
+    _CONTEXT[name] = {k: v for k, v in rec.items() if k != "context"}
+    print(json.dumps(rec), file=sys.stderr)
 
 
 def measure_tta(runner, state, batch, iters=25, windows=3):
@@ -69,10 +87,38 @@ def measure_train(runner, state, batch, iters=15, windows=3):
     return best
 
 
+def measure_variant(cfg, iters=25, **overrides):
+    """TTA throughput of a config variant (fresh runner + init)."""
+    import dataclasses
+    from salt_tpu.train.steps import SegmentationRunner
+    model = dataclasses.replace(cfg.model,
+                                **{k: v for k, v in overrides.items()
+                                   if hasattr(cfg.model, k)})
+    cfg_v = dataclasses.replace(cfg, model=model)
+    runner = SegmentationRunner(cfg_v)
+    state = runner.init_state(0)
+    return measure_tta(runner, state, cfg_v.training.batch_size_inference,
+                       iters=iters)
+
+
+def measure_serve(cfg):
+    """End-to-end serve rate: decode-free synthetic chunk, one scan
+    program, device-side masks (pipeline/serving.py timing boundary:
+    prepare + H2D + compute all inside the window)."""
+    import dataclasses
+    import tempfile
+    from salt_tpu.pipeline.serving import serve
+    cfg_s = dataclasses.replace(cfg)
+    with tempfile.TemporaryDirectory() as td:
+        r = serve(cfg_s, checkpoint="", images_dir="",
+                  out_csv=os.path.join(td, "sub.csv"), synthetic=2048)
+    return r["images_per_sec"]
+
+
 def measure_multichip_scaling(cfg, single_chip_ips):
     """Weak-scaling probe — engages automatically when >1 real chip is
     visible (VERDICT r2 #3): same per-chip batch, batch axis sharded
-    over the full mesh; reports aggregate + per-chip rate to stderr."""
+    over the full mesh; reports aggregate + per-chip rate."""
     import jax
     from salt_tpu.train.steps import SegmentationRunner
 
@@ -88,10 +134,9 @@ def measure_multichip_scaling(cfg, single_chip_ips):
     runner = SegmentationRunner(cfg_n)
     state = runner.init_state(0)
     agg = measure_tta(runner, state, cfg_n.training.batch_size_inference)
-    print(f"context: multichip DP x{n}: {agg:.0f} img/s aggregate "
-          f"({agg / n:.0f}/chip; 1-chip {single_chip_ips:.0f}; "
-          f"efficiency {agg / (n * single_chip_ips) * 100:.0f}%)",
-          file=sys.stderr)
+    context("multichip_dp_tta", agg, "images/sec_aggregate", chips=n,
+            per_chip=round(agg / n, 1),
+            efficiency_pct=round(agg / (n * single_chip_ips) * 100, 1))
     return agg
 
 
@@ -99,6 +144,7 @@ def main():
     from salt_tpu.core.config import default_config
     from salt_tpu.train.steps import SegmentationRunner
 
+    fast = bool(os.environ.get("SALT_TPU_BENCH_FAST"))
     cfg = default_config()
     cfg.model.architecture = "UNetResNet"
     cfg.training.dtype = "bfloat16"
@@ -114,21 +160,51 @@ def main():
     state = runner.init_state(0)
 
     tta_ips = measure_tta(runner, state, cfg.training.batch_size_inference)
+    context("flagship_tta_int8", tta_ips, "images/sec/chip",
+            batch=cfg.training.batch_size_inference)
     train_ips = measure_train(runner, state, cfg.training.batch_size_train)
-    print(f"context: UNetResNet34 train {train_ips:.0f} img/s/chip "
-          f"(bs{cfg.training.batch_size_train}, fused aug+fwd+lovasz+bwd)",
-          file=sys.stderr)
+    context("flagship_train", train_ips, "images/sec/chip",
+            batch=cfg.training.batch_size_train,
+            note="fused aug+fwd+lovasz+bwd")
+
+    if not fast:
+        for name, fn in (
+            ("flagship_tta_bf16",
+             lambda: measure_variant(cfg, quant_bits=0)),
+            ("salt_unet16_tta",
+             lambda: measure_variant(cfg, architecture="SaltUNet",
+                                     quant_bits=0)),
+        ):
+            try:
+                context(name, fn(), "images/sec/chip")
+            except Exception as e:
+                print(f"context metric {name} skipped: {e}", file=sys.stderr)
+        try:
+            context("serve_synthetic_2048", measure_serve(cfg),
+                    "images/sec", note="prepare+H2D+compute, one chunk")
+        except Exception as e:
+            print(f"context metric serve skipped: {e}", file=sys.stderr)
+
     try:
         measure_multichip_scaling(cfg, tta_ips)
     except Exception as e:                 # scaling probe must never
         print(f"context: multichip probe skipped: {e}", file=sys.stderr)
 
-    print(json.dumps({
+    headline = {
         "metric": "unet_resnet34_tta_inference_throughput_128px",
         "value": round(tta_ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(tta_ips / BASELINE_IMAGES_PER_SEC, 3),
-    }))
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_context.json"), "w") as f:
+            json.dump({"headline": headline, "context": _CONTEXT}, f,
+                      indent=2, sort_keys=True)
+            f.write("\n")
+    except OSError as e:
+        print(f"bench_context.json not written: {e}", file=sys.stderr)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
