@@ -105,6 +105,23 @@ def upsample2x(x: jax.Array, factor: int = 2,
                             method="linear")
 
 
+def resize_bilinear(x: jax.Array, out_h: int, out_w: int,
+                    mode: str = "half_pixel") -> jax.Array:
+    """Arbitrary-size bilinear NHWC resize. mode="align_corners" is the
+    torch-0.3.1 ``F.upsample(size=..., mode='bilinear')`` grid mapping
+    (used by the reference's PSP pyramid, pspnet.py:24), expressed as
+    two small matmuls; "half_pixel" is jax.image.resize."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    if mode == "align_corners":
+        wh = jnp.asarray(_align_corners_matrix(h, out_h), x.dtype)
+        ww = jnp.asarray(_align_corners_matrix(w, out_w), x.dtype)
+        y = jnp.einsum("oh,bhwc->bowc", wh, x)
+        return jnp.einsum("pw,bowc->bopc", ww, y)
+    return jax.image.resize(x, (b, out_h, out_w, c), method="linear")
+
+
 def reference_pad(x: jax.Array, kh: int, kw: int) -> jax.Array:
     """The reference's asymmetric replication pad: kh-1 rows on TOP,
     kw-1 cols on the RIGHT (ReplicationPad2d((0, kw-1, kh-1, 0)),
@@ -145,16 +162,26 @@ class ConvBnRelu(nn.Module):
 
 
 class DeconvConvBnRelu(nn.Module):
-    """Stride-2 transpose conv -> BN -> ReLU (reference: base.py:40-57)."""
+    """Stride-2 transpose conv -> BN -> ReLU (reference: base.py:40-57).
+
+    pad_mode "reference" reproduces torch ConvTranspose2d(kernel=3,
+    stride=2, padding=1, output_padding=1) geometry exactly: flax
+    padding ((1,2),(1,2)) with the converter supplying the torch kernel
+    flipped+transposed (measured equivalence, models/torch_import.py
+    _deconv). The default "same" keeps flax's SAME transpose-conv."""
     features: int
     use_relu: bool = True
     use_batch_norm: bool = True
+    pad_mode: str = "same"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        padding = ("SAME" if self.pad_mode != "reference"
+                   else ((1, 2), (1, 2)))
         x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                             padding="SAME", use_bias=not self.use_batch_norm,
+                             padding=padding,
+                             use_bias=not self.use_batch_norm,
                              dtype=self.dtype)(x)
         if self.use_batch_norm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -348,19 +375,21 @@ class GlobalConvolutionalNetwork(nn.Module):
     features: int
     kernel_size: int
     use_relu: bool = False
+    pad_mode: str = "same"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
+        pm = self.pad_mode
         a = ConvBnRelu(self.features, (k, 1), use_relu=self.use_relu,
-                       dtype=self.dtype)(x, train)
+                       pad_mode=pm, dtype=self.dtype)(x, train)
         a = ConvBnRelu(self.features, (1, k), use_relu=self.use_relu,
-                       dtype=self.dtype)(a, train)
+                       pad_mode=pm, dtype=self.dtype)(a, train)
         b = ConvBnRelu(self.features, (1, k), use_relu=self.use_relu,
-                       dtype=self.dtype)(x, train)
+                       pad_mode=pm, dtype=self.dtype)(x, train)
         b = ConvBnRelu(self.features, (k, 1), use_relu=self.use_relu,
-                       dtype=self.dtype)(b, train)
+                       pad_mode=pm, dtype=self.dtype)(b, train)
         return a + b
 
 
@@ -368,13 +397,14 @@ class BoundaryRefinement(nn.Module):
     """Residual boundary-refinement block (reference: base.py:181-197)."""
     features: int
     kernel_size: int = 3
+    pad_mode: str = "same"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         k = self.kernel_size
         y = ConvBnRelu(self.features, (k, k), use_relu=True,
-                       dtype=self.dtype)(x, train)
+                       pad_mode=self.pad_mode, dtype=self.dtype)(x, train)
         y = ConvBnRelu(self.features, (k, k), use_relu=False,
-                       dtype=self.dtype)(y, train)
+                       pad_mode=self.pad_mode, dtype=self.dtype)(y, train)
         return x + y

@@ -120,6 +120,12 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64    # 4 for ResNeXt 32x4d
     use_se: bool = False
+    # pretrainedmodels' SEResNetBottleneck strides conv1 (Caffe style),
+    # torchvision/SE-ResNeXt stride conv2 — forward numerics differ at
+    # every stride-2 block, so SE-ResNet must set this for checkpoint
+    # forward fidelity (pretrainedmodels senet.py SEResNetBottleneck
+    # docstring; reference: encoders.py:48-59 loads se_resnet50/101/152)
+    stride_conv1: bool = False
     dtype: Dtype = jnp.float32
     conv_fn: Any = None
 
@@ -128,12 +134,14 @@ class Bottleneck(nn.Module):
         ck = conv_kwargs(self.conv_fn)
         inner = self.features // 4
         width = int(inner * (self.base_width / 64.0)) * self.groups
+        s1 = self.strides if self.stride_conv1 else 1
+        s2 = 1 if self.stride_conv1 else self.strides
         residual = x
-        y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1", **ck)(x)
+        y = nn.Conv(width, (1, 1), strides=(s1, s1), use_bias=False,
+                    dtype=self.dtype, name="conv1", **ck)(x)
         y = _BN(self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
-        y = nn.Conv(width, (3, 3), strides=(self.strides,) * 2,
+        y = nn.Conv(width, (3, 3), strides=(s2, s2),
                     padding=[(1, 1), (1, 1)],
                     feature_group_count=self.groups,
                     use_bias=False, dtype=self.dtype, name="conv2", **ck)(y)
@@ -161,6 +169,7 @@ class ResNetEncoder(nn.Module):
     use_se: bool = False
     groups: int = 1
     base_width: int = 64
+    stride_conv1: bool = False   # Caffe-style stride (SE-ResNet)
     dtype: Dtype = jnp.float32
     conv_fn: Any = None
 
@@ -191,7 +200,8 @@ class ResNetEncoder(nn.Module):
                               name=f"layer{stage + 1}_{i}")
                 if bottleneck:
                     kwargs.update(groups=self.groups,
-                                  base_width=self.base_width)
+                                  base_width=self.base_width,
+                                  stride_conv1=self.stride_conv1)
                 x = Block(**kwargs)(x, train)
             feats.append(x)
         return tuple(feats)
@@ -266,6 +276,7 @@ def make_encoder(kind: str, depth: int, pool0: bool = False,
                              conv_fn=conv_fn, name=name)
     if kind == "se_resnet":
         return ResNetEncoder(depth=depth, pool0=pool0, use_se=True,
+                             stride_conv1=True,   # Caffe-style SEResNet
                              dtype=dtype, conv_fn=conv_fn, name=name)
     if kind == "se_resnext":
         return ResNetEncoder(depth=depth, pool0=pool0, use_se=True,

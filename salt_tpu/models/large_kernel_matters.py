@@ -26,11 +26,13 @@ class LargeKernelMatters(nn.Module):
     use_relu: bool = True
     dropout_2d: float = 0.0
     pool0: bool = False
+    pad_mode: str = "same"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
+        pm = self.pad_mode
         enc2, enc3, enc4, enc5 = make_encoder(
             "resnet", self.encoder_depth, self.pool0, self.dtype)(x, train)
         if self.dropout_2d > 0:
@@ -40,30 +42,34 @@ class LargeKernelMatters(nn.Module):
         def gcn_br(feat, name):
             y = GlobalConvolutionalNetwork(self.internal_channels,
                                            self.kernel_size, self.use_relu,
-                                           dtype=self.dtype,
+                                           pad_mode=pm, dtype=self.dtype,
                                            name=f"gcn_{name}")(feat, train)
             return BoundaryRefinement(self.internal_channels, 3,
-                                      dtype=self.dtype,
+                                      pad_mode=pm, dtype=self.dtype,
                                       name=f"enc_br_{name}")(y, train)
 
         g2, g3, g4, g5 = (gcn_br(enc2, "2"), gcn_br(enc3, "3"),
                           gcn_br(enc4, "4"), gcn_br(enc5, "5"))
 
-        d5 = DeconvConvBnRelu(self.internal_channels, dtype=self.dtype,
-                              name="deconv5")(g5, train)
-        d4 = BoundaryRefinement(self.internal_channels, 3, dtype=self.dtype,
+        d5 = DeconvConvBnRelu(self.internal_channels, pad_mode=pm,
+                              dtype=self.dtype, name="deconv5")(g5, train)
+        d4 = BoundaryRefinement(self.internal_channels, 3, pad_mode=pm,
+                                dtype=self.dtype,
                                 name="dec_br4")(d5 + g4, train)
-        d4 = DeconvConvBnRelu(self.internal_channels, dtype=self.dtype,
-                              name="deconv4")(d4, train)
-        d3 = BoundaryRefinement(self.internal_channels, 3, dtype=self.dtype,
+        d4 = DeconvConvBnRelu(self.internal_channels, pad_mode=pm,
+                              dtype=self.dtype, name="deconv4")(d4, train)
+        d3 = BoundaryRefinement(self.internal_channels, 3, pad_mode=pm,
+                                dtype=self.dtype,
                                 name="dec_br3")(d4 + g3, train)
-        d3 = DeconvConvBnRelu(self.internal_channels, dtype=self.dtype,
-                              name="deconv3")(d3, train)
-        d2 = BoundaryRefinement(self.internal_channels, 3, dtype=self.dtype,
+        d3 = DeconvConvBnRelu(self.internal_channels, pad_mode=pm,
+                              dtype=self.dtype, name="deconv3")(d3, train)
+        d2 = BoundaryRefinement(self.internal_channels, 3, pad_mode=pm,
+                                dtype=self.dtype,
                                 name="dec_br2")(d3 + g2, train)
-        d2 = DeconvConvBnRelu(self.internal_channels, dtype=self.dtype,
-                              name="deconv2")(d2, train)
-        d2 = BoundaryRefinement(self.internal_channels, 3, dtype=self.dtype,
+        d2 = DeconvConvBnRelu(self.internal_channels, pad_mode=pm,
+                              dtype=self.dtype, name="deconv2")(d2, train)
+        d2 = BoundaryRefinement(self.internal_channels, 3, pad_mode=pm,
+                                dtype=self.dtype,
                                 name="dec_br1")(d2, train)
 
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,

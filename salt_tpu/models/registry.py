@@ -109,7 +109,10 @@ def _unet_resnet_depth(cfg: ModelConfig, dtype):
     return UNetResNetWithDepth(num_classes=cfg.num_classes,
                                encoder_depth=cfg.encoder_depth or 34,
                                use_hypercolumn=cfg.use_hypercolumn,
-                               dropout_2d=cfg.dropout_2d, dtype=dtype)
+                               dropout_2d=cfg.dropout_2d,
+                               pad_mode=cfg.conv_pad_mode,
+                               upsample_mode=cfg.upsample_mode,
+                               conv_fn=_conv_fn(cfg), dtype=dtype)
 
 
 def _lkm(cfg: ModelConfig, dtype):
@@ -118,7 +121,8 @@ def _lkm(cfg: ModelConfig, dtype):
                               encoder_depth=cfg.encoder_depth or 34,
                               kernel_size=cfg.kernel_size,
                               internal_channels=21, use_relu=True,
-                              pool0=cfg.pool0, dtype=dtype)
+                              pool0=cfg.pool0,
+                              pad_mode=cfg.conv_pad_mode, dtype=dtype)
 
 
 def _pspnet(cfg: ModelConfig, dtype):
@@ -126,7 +130,8 @@ def _pspnet(cfg: ModelConfig, dtype):
     return PSPNet(num_classes=cfg.num_classes,
                   encoder_depth=cfg.encoder_depth or 34,
                   use_hypercolumn=cfg.use_hypercolumn, pool0=cfg.pool0,
-                  dtype=dtype)
+                  pad_mode=cfg.conv_pad_mode,
+                  upsample_mode=cfg.upsample_mode, dtype=dtype)
 
 
 def _stacking_fcn(cfg: ModelConfig, dtype):
@@ -134,7 +139,7 @@ def _stacking_fcn(cfg: ModelConfig, dtype):
     return StackingFCN(num_classes=cfg.num_classes,
                        input_model_nr=cfg.input_model_nr,
                        filter_nr=cfg.filter_nr, dropout_2d=cfg.dropout_2d,
-                       dtype=dtype)
+                       pad_mode=cfg.conv_pad_mode, dtype=dtype)
 
 
 def _stacking_fcn_depth(cfg: ModelConfig, dtype):
@@ -142,7 +147,8 @@ def _stacking_fcn_depth(cfg: ModelConfig, dtype):
     return StackingFCNWithDepth(num_classes=cfg.num_classes,
                                 input_model_nr=cfg.input_model_nr,
                                 filter_nr=cfg.filter_nr,
-                                dropout_2d=cfg.dropout_2d, dtype=dtype)
+                                dropout_2d=cfg.dropout_2d,
+                                pad_mode=cfg.conv_pad_mode, dtype=dtype)
 
 
 def _emptiness(cfg: ModelConfig, dtype):

@@ -21,13 +21,14 @@ class StackingFCN(nn.Module):
     num_classes: int = 2
     filter_nr: int = 32
     dropout_2d: float = 0.0
+    pad_mode: str = "same"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         x = ConvBnRelu(self.filter_nr, (3, 3), dtype=self.dtype,
-                       name="conv")(x, train)
+                       pad_mode=self.pad_mode, name="conv")(x, train)
         if self.dropout_2d > 0:
             x = nn.Dropout(self.dropout_2d, broadcast_dims=(1, 2),
                            deterministic=not train)(x)
@@ -41,13 +42,14 @@ class StackingFCNWithDepth(nn.Module):
     num_classes: int = 2
     filter_nr: int = 32
     dropout_2d: float = 0.0
+    pad_mode: str = "same"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, d, train: bool = False):
         x = x.astype(self.dtype)
         x = ConvBnRelu(self.filter_nr, (3, 3), dtype=self.dtype,
-                       name="conv")(x, train)
+                       pad_mode=self.pad_mode, name="conv")(x, train)
         if self.dropout_2d > 0:
             x = nn.Dropout(self.dropout_2d, broadcast_dims=(1, 2),
                            deterministic=not train)(x)

@@ -31,6 +31,10 @@ class UNetTrunk(nn.Module):
     use_hypercolumn: bool = True
     pool0: bool = False
     bottom_channels: int = 512
+    # center_conv2 output channels: the reference uses
+    # encoder_channel_nr[2] (enc4's width) — b//2 for ResNet/SENet
+    # trunks but NOT for DenseNet (unet.py:258-261 vs 60-63). 0 = b//2.
+    center_out: int = 0
     # "sum" (sliced-kernel, no materialized concat) vs "concat"
     # (literal reference formulation): mathematically identical,
     # checkpoint-compatible. v5e A/B (round 2): sum is faster for
@@ -48,7 +52,8 @@ class UNetTrunk(nn.Module):
     conv_fn: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_dec1: bool = False):
+    def __call__(self, x, train: bool = False, return_dec1: bool = False,
+                 return_head_input: bool = False):
         b = self.bottom_channels
         x = x.astype(self.dtype)
         enc2, enc3, enc4, enc5 = make_encoder(
@@ -65,8 +70,8 @@ class UNetTrunk(nn.Module):
         sliced = self.decoder_impl == "sum"
         center = ConvBnRelu(b, dtype=self.dtype, conv_fn=cf, pad_mode=pm,
                             name="center_conv1")(enc5, train)
-        center = ConvBnRelu(b // 2, dtype=self.dtype, conv_fn=cf,
-                            pad_mode=pm,
+        center = ConvBnRelu(self.center_out or b // 2, dtype=self.dtype,
+                            conv_fn=cf, pad_mode=pm,
                             name="center_conv2")(center, train)
         center = nn.avg_pool(center, (2, 2), strides=(2, 2))
 
@@ -90,6 +95,21 @@ class UNetTrunk(nn.Module):
                             use_sliced_concat=sliced, pad_mode=pm,
                             upsample_mode=um,
                             name="dec1")(dec2, None, train)
+
+        if return_head_input:
+            # pre-final-conv features — UNetResNetWithDepth gates these
+            # with DepthChannelExcitation BEFORE the final ConvBnRelu,
+            # exactly where the reference applies it
+            # (models_with_depth.py:68-77)
+            if self.use_hypercolumn:
+                return jnp.concatenate([
+                    dec1,
+                    upsample2x(dec2, 2, mode=um),
+                    upsample2x(dec3, 4, mode=um),
+                    upsample2x(dec4, 8, mode=um),
+                    upsample2x(dec5, 16, mode=um),
+                ], axis=-1)
+            return dec1
 
         if self.use_hypercolumn:
             import os
@@ -186,13 +206,17 @@ def UNetDenseNet(encoder_depth=121, num_classes=2, dropout_2d=0.0,
                  decoder_impl="sum", pad_mode="same",
                  upsample_mode="half_pixel"):
     """(reference: unet.py:238-307). bottom_channels follows the last
-    dense block (1024 for densenet121)."""
+    dense block (1024 for densenet121); center_conv2 emits enc4's width
+    (encoder_channel_nr[2], unet.py:258-261) which is NOT bottom//2 for
+    DenseNet depths 161/169/201."""
     from salt_tpu.models.encoders import encoder_channels
-    bottom = encoder_channels("densenet", encoder_depth)[-1]
+    chans = encoder_channels("densenet", encoder_depth)
+    bottom = chans[-1]
     return UNetTrunk(encoder_kind="densenet", encoder_depth=encoder_depth,
                      num_classes=num_classes, dropout_2d=dropout_2d,
                      use_hypercolumn=use_hypercolumn, pool0=pool0,
-                     bottom_channels=bottom, dtype=dtype, conv_fn=conv_fn,
+                     bottom_channels=bottom, center_out=chans[2],
+                     dtype=dtype, conv_fn=conv_fn,
                      hypercolumn_impl=hypercolumn_impl,
                      decoder_impl=decoder_impl, pad_mode=pad_mode,
                      upsample_mode=upsample_mode)
