@@ -193,19 +193,23 @@ def _decoder_block(sd: Dict[str, np.ndarray], pre: str) -> Tuple[dict, dict]:
 
 
 def convert_unet_resnet(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
-    """FULL reference ``UNetResNet`` state_dict (architectures/unet.py:
-    22-109: encoders + center + dec5..dec1 + final) -> complete
-    (params, batch_stats) trees for the flax UNetResNet trunk. Run the
+    """FULL reference U-Net trunk state_dict (architectures/unet.py:
+    22-109 UNetResNet, 112-172 UNetSeResNet, 175-235 UNetSeResNetXt,
+    238-307 UNetDenseNet: encoders + center + dec5..dec1 + final) ->
+    complete (params, batch_stats) trees for the flax UNetTrunk. The
+    encoder sub-checkpoint dispatches on its naming scheme (torchvision
+    ResNet / pretrainedmodels SENet / torchvision DenseNet). Run the
     flax model with ``conv_pad_mode="reference"`` and
     ``upsample_mode="align_corners"`` for forward fidelity with the
-    torch original (tests/test_flagship_golden.py)."""
+    torch original (tests/test_flagship_golden.py,
+    tests/test_arch_goldens.py)."""
     enc_prefix = "encoders.encoder."
     enc_sd = {k[len(enc_prefix):]: v for k, v in sd.items()
               if k.startswith(enc_prefix)}
     if not enc_sd:
         raise KeyError("state_dict has no 'encoders.encoder.*' keys — "
-                       "not a full reference UNetResNet checkpoint")
-    enc_p, enc_s = convert_resnet_encoder(enc_sd)
+                       "not a full reference U-Net checkpoint")
+    enc_p, enc_s = convert_encoder(enc_sd)
     params: dict = {"encoder": enc_p}
     stats: dict = {"encoder": enc_s}
     params["center_conv1"], stats["center_conv1"] = _cbr(sd, "center.0")
@@ -215,6 +219,155 @@ def convert_unet_resnet(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
     params["final_conv"], stats["final_conv"] = _cbr(sd, "final.0")
     params["head"] = {"kernel": _conv(sd["final.1.weight"]),
                       "bias": sd["final.1.bias"]}
+    return params, stats
+
+
+def _depth_gate(sd: Dict[str, np.ndarray], pre: str) -> dict:
+    """Reference ``DepthChannelExcitation`` (base.py:120-131): a single
+    Linear(1 -> C) + sigmoid -> flax DepthChannelExcitation/Dense_0."""
+    return {"Dense_0": {"kernel": _linear(sd[f"{pre}.fc.0.weight"]),
+                        "bias": sd[f"{pre}.fc.0.bias"]}}
+
+
+def convert_unet_resnet_with_depth(sd: Dict[str, np.ndarray]
+                                   ) -> Tuple[dict, dict]:
+    """Reference ``UNetResNetWithDepth`` (models_with_depth.py:9-77) ->
+    flax UNetResNetWithDepth trees: the shared trunk nests under
+    'trunk' (minus final/head, which sit after the depth gate at the
+    top level, mirroring the reference's gate-before-final order)."""
+    p, s = convert_unet_resnet(sd)
+    final_p, final_s = p.pop("final_conv"), s.pop("final_conv")
+    head = p.pop("head")
+    params = {"trunk": p,
+              "depth_gate": _depth_gate(sd, "depth_channel_excitation"),
+              "final_conv": final_p, "head": head}
+    return params, {"trunk": s, "final_conv": final_s}
+
+
+def _deconv_cbr(sd: Dict[str, np.ndarray], pre: str) -> Tuple[dict, dict]:
+    """Reference ``DeconvConv2dBnRelu`` (base.py:40-57):
+    ConvTranspose2d(k=3, s=2, p=1, output_padding=1) + BN + ReLU ->
+    flax DeconvConvBnRelu (pad_mode='reference'). torch's transposed
+    conv is the gradient of a correlation — equivalently a correlation
+    of the stride-dilated input with the spatially FLIPPED kernel and
+    in/out swapped: [I, O, kh, kw] -> flip(kh, kw) -> [kh, kw, I, O].
+    The deconv bias folds into the BN running mean (see _cbr)."""
+    w = sd[f"{pre}.deconv.weight"]
+    kernel = np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1)).copy()
+    p = {"ConvTranspose_0": {"kernel": kernel}}
+    bn_p, bn_s = _bn(sd, f"{pre}.batch_norm")
+    if f"{pre}.deconv.bias" in sd:
+        bn_s = {"mean": bn_s["mean"] - sd[f"{pre}.deconv.bias"],
+                "var": bn_s["var"]}
+    p["BatchNorm_0"] = bn_p
+    return p, {"BatchNorm_0": bn_s}
+
+
+def _gcn(sd: Dict[str, np.ndarray], pre: str) -> Tuple[dict, dict]:
+    """Reference ``GlobalConvolutionalNetwork`` (base.py:152-178): two
+    factorized (k,1)+(1,k) branches of Conv2dBnRelu. flax call order is
+    conv1.0, conv1.1, conv2.0, conv2.1 -> ConvBnRelu_0..3."""
+    p: dict = {}
+    s: dict = {}
+    for i, torch_name in enumerate(("conv1.0", "conv1.1",
+                                    "conv2.0", "conv2.1")):
+        p[f"ConvBnRelu_{i}"], s[f"ConvBnRelu_{i}"] = _cbr(
+            sd, f"{pre}.{torch_name}")
+    return p, s
+
+
+def _br(sd: Dict[str, np.ndarray], pre: str) -> Tuple[dict, dict]:
+    """Reference ``BoundaryRefinement`` (base.py:181-197)."""
+    p: dict = {}
+    s: dict = {}
+    for i in range(2):
+        p[f"ConvBnRelu_{i}"], s[f"ConvBnRelu_{i}"] = _cbr(
+            sd, f"{pre}.conv.{i}")
+    return p, s
+
+
+def convert_lkm(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """Reference ``LargeKernelMatters`` (large_kernel_matters.py:8-97)
+    -> flax LargeKernelMatters trees."""
+    enc_prefix = "encoders.encoder."
+    enc_sd = {k[len(enc_prefix):]: v for k, v in sd.items()
+              if k.startswith(enc_prefix)}
+    enc_p, enc_s = convert_resnet_encoder(enc_sd)
+    params: dict = {"encoder": enc_p}
+    stats: dict = {"encoder": enc_s}
+    for k in range(2, 6):
+        params[f"gcn_{k}"], stats[f"gcn_{k}"] = _gcn(sd, f"gcn{k}")
+        params[f"enc_br_{k}"], stats[f"enc_br_{k}"] = _br(sd, f"enc_br{k}")
+    for k in range(2, 6):
+        params[f"deconv{k}"], stats[f"deconv{k}"] = _deconv_cbr(
+            sd, f"deconv{k}")
+    for k in range(1, 5):
+        params[f"dec_br{k}"], stats[f"dec_br{k}"] = _br(sd, f"dec_br{k}")
+    params["final"] = {"kernel": _conv(sd["final.weight"]),
+                       "bias": sd["final.bias"]}
+    return params, stats
+
+
+def convert_pspnet(sd: Dict[str, np.ndarray],
+                   sizes=(1, 2, 3, 6)) -> Tuple[dict, dict]:
+    """Reference ``PSPNet`` (pspnet.py:43-100) -> flax PSPNet trees.
+    psp.stages.{i} is Sequential(AdaptiveAvgPool2d, Conv2d) so the conv
+    sits at index 1; the PSPUpsample conv block is Sequential(Conv2d,
+    BatchNorm2d, PReLU) whose PReLU carries one learnable scalar."""
+    enc_prefix = "encoders.encoder."
+    enc_sd = {k[len(enc_prefix):]: v for k, v in sd.items()
+              if k.startswith(enc_prefix)}
+    enc_p, enc_s = convert_resnet_encoder(enc_sd)
+    params: dict = {"encoder": enc_p}
+    stats: dict = {"encoder": enc_s}
+    psp: dict = {}
+    for i, size in enumerate(sizes):
+        psp[f"stage_{size}"] = {
+            "kernel": _conv(sd[f"psp.stages.{i}.1.weight"])}
+    psp["bottleneck"] = {"kernel": _conv(sd["psp.bottleneck.weight"]),
+                         "bias": sd["psp.bottleneck.bias"]}
+    params["psp"] = psp
+    for k in range(1, 5):
+        pre = f"up{k}.conv"
+        bn_p, bn_s = _bn(sd, f"{pre}.1")
+        params[f"up{k}"] = {
+            "Conv_0": {"kernel": _conv(sd[f"{pre}.0.weight"]),
+                       "bias": sd[f"{pre}.0.bias"]},
+            "BatchNorm_0": bn_p,
+            "prelu_alpha": sd[f"{pre}.2.weight"].reshape(()),
+        }
+        stats[f"up{k}"] = {"BatchNorm_0": bn_s}
+    params["final_conv"], stats["final_conv"] = _cbr(sd, "final.0")
+    params["head"] = {"kernel": _conv(sd["final.1.weight"]),
+                      "bias": sd["final.1.bias"]}
+    return params, stats
+
+
+def convert_emptiness(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """Reference ``EmptinessClassifier`` (misc.py:39-81) -> flax
+    EmptinessClassifier trees. The torch module aliases the torchvision
+    resnet under both 'encoder.*' and the stage attributes; the
+    'encoder.*' view is converted (fc.* ignored — the reference replaces
+    the ImageNet head with AvgPool2d + 1x1 conv)."""
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.") and not k.startswith("encoder.fc")}
+    enc_p, enc_s = convert_resnet_encoder(enc_sd)
+    params = {"encoder": enc_p,
+              "classifier": {"kernel": _conv(sd["classifier.1.weight"]),
+                             "bias": sd["classifier.1.bias"]}}
+    return params, {"encoder": enc_s}
+
+
+def convert_stacking_fcn(sd: Dict[str, np.ndarray]) -> Tuple[dict, dict]:
+    """Reference ``StackingFCN`` / ``StackingFCNWithDepth``
+    (misc.py:8-36) -> flax trees (depth gate included when present)."""
+    params: dict = {}
+    stats: dict = {}
+    params["conv"], stats["conv"] = _cbr(sd, "conv.0")
+    if "depth_channel_excitation.fc.0.weight" in sd:
+        params["depth_gate"] = _depth_gate(sd, "depth_channel_excitation")
+    params["final"] = {"kernel": _conv(sd["final.0.weight"]),
+                       "bias": sd["final.0.bias"]}
     return params, stats
 
 
