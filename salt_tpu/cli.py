@@ -47,7 +47,7 @@ def main(argv=None):
         "empty-evaluate-cv", "empty-evaluate-predict-cv",
         "stacking-cv", "full-solution", "serve", "verify-data",
         "cost-analysis", "analyze", "ensemble", "data-stats",
-        "augment-preview"])
+        "augment-preview", "distill"])
     parser.add_argument("--workdir", default="output/full_solution",
                         help="full-solution: root dir for the "
                              "segmentation/emptiness/stacking stages")
@@ -70,11 +70,15 @@ def main(argv=None):
                         help="run on N generated synthetic images instead "
                              "of reading the data dirs")
     parser.add_argument("--synthetic-difficulty", default="easy",
-                        choices=["easy", "hard"],
+                        choices=["easy", "hard", "real"],
                         help="'hard' generates the TGS-lookalike task "
                              "(folded strata, irregular/half-space salt, "
                              "texture signal, depth-correlated salt "
-                             "probability) used for quality-evidence runs")
+                             "probability); 'real' adds ambiguous "
+                             "boundaries, annotation jitter, low-SNR and "
+                             "decoy images, calibrated so the flagship "
+                             "lands in the reference's 0.78-0.88 CV IOUT "
+                             "regime — use it for quality-evidence runs")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--stacking-epochs", type=int, default=None,
                         help="epoch budget for the stacking second level "
@@ -100,6 +104,15 @@ def main(argv=None):
                              "(default: uniform)")
     parser.add_argument("--ensemble-method", default="mean",
                         choices=["mean", "gmean"])
+    parser.add_argument("--teacher", default="",
+                        help="distill: CV experiment dir whose persisted "
+                             "out-of-fold probabilities are the soft "
+                             "targets (the student is the CONFIGURED "
+                             "model, e.g. --set "
+                             "model.architecture=SaltUNet)")
+    parser.add_argument("--distill-alpha", type=float, default=None,
+                        help="distill: weight of the soft-target BCE vs "
+                             "the hard-mask training.loss")
     parser.add_argument("--checkpoint", default="",
                         help="serve: best.npz file, experiment dir, or CV "
                              "experiment dir (fold checkpoints ensembled)")
@@ -167,6 +180,8 @@ def main(argv=None):
         cfg.training.stacking_epochs = args.stacking_epochs
     if args.stacking_lr is not None:
         cfg.training.stacking_lr = args.stacking_lr
+    if args.distill_alpha is not None:
+        cfg.training.distill_alpha = args.distill_alpha
 
     if args.command == "serve":
         from salt_tpu.pipeline.serving import serve
@@ -372,6 +387,13 @@ def main(argv=None):
         print({k: results[k] for k in
                ("segmentation", "emptiness", "stacking", "gating")})
         print(f"final gated submission -> {results['submission_path']}")
+    elif args.command == "distill":
+        from salt_tpu.pipeline.distill import distill
+        if not args.teacher:
+            raise SystemExit("distill requires --teacher "
+                             "<cv-experiment-dir>")
+        print(distill(cfg, experiment, train_b, args.teacher,
+                      test_bundle=None))
     elif args.command == "stacking-cv":
         from salt_tpu.pipeline import stacking
         dirs = args.stacking_experiments

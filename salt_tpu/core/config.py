@@ -166,6 +166,10 @@ class TrainingConfig:
     # image_every/image_nr wired at models.py:300-312)
     validation_images_every: int = 0
     validation_image_nr: int = 8
+    # distillation (pipeline/distill.py — no reference counterpart; the
+    # TPU-first route to the 5000 img/s serving target): weight of the
+    # soft teacher-probability BCE vs the hard-mask ``loss`` term
+    distill_alpha: float = 0.75
 
 
 @dataclass

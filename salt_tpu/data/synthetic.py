@@ -31,6 +31,8 @@ def synthetic_arrays(n: int, seed: int = 0, empty_fraction: float = 0.35,
     """
     if difficulty == "hard":
         return _hard_arrays(n, seed, empty_fraction, size)
+    if difficulty == "real":
+        return _real_arrays(n, seed, empty_fraction, size)
     if difficulty != "easy":
         raise ValueError(f"unknown synthetic difficulty: {difficulty!r}")
     rng = np.random.RandomState(seed)
@@ -131,6 +133,142 @@ def _hard_arrays(n: int, seed: int, empty_fraction: float, size: int
         base += gx * (xx / size) + gy * (yy / size)
         base = 128.0 + rng.uniform(0.75, 1.15) * (base - 128.0)
         base += rng.normal(0, 10, (size, size))
+        images[i] = np.clip(base, 0, 255).astype(np.uint8)
+    return images, masks, depths
+
+
+# Calibrated knobs for the "real" difficulty (VERDICT r3 #1): tuned so a
+# 6-fold flagship (UNetResNet34+scSE+hypercolumn) with hflip-TTA lands at
+# CV IOUT 0.78-0.88 — the reference's real-data regime
+# (reference README.md:35-41: solutions 7-9 score 0.829-0.853 CV).
+REAL_KNOBS = dict(
+    snr_lo=0.15, snr_hi=1.0,    # interior texture-contrast range
+    jitter_px=2.5,              # label-vs-texture annotation offset (std)
+    feather_lo=0.8, feather_hi=3.0,   # boundary blend half-width (px)
+    rim_p=0.45, rim_lo=10.0, rim_hi=30.0,  # top-of-salt reflector rim
+    small_bias=2.2,             # beta(1.2, small_bias) skews domes small
+    decoy_p=0.25, decoy_snr=0.35,      # salt-looking texture on EMPTIES
+    noise=12.0,                 # sensor noise std
+)
+
+
+def _real_arrays(n: int, seed: int, empty_fraction: float, size: int
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """TGS-lookalike generator calibrated to the REFERENCE's score regime
+    (VERDICT r3 #1). The ``hard`` task saturates the flagship at IOUT
+    ~0.96 because every salt body has a clear texture change and a
+    bright rim along its exact labelled boundary. Real TGS sits at
+    0.83-0.85 because the evidence is ambiguous; this mode reproduces
+    those failure modes on top of the ``hard`` strata/depth model:
+
+    - FEATHERED boundaries: interior texture blends into the strata over
+      a random 1-3 px band (signed-distance sigmoid), so the exact
+      contour is uncertain;
+    - ANNOTATION noise: the labelled mask is offset/warped ~2-3 px from
+      the texture evidence (real masks are hand-drawn);
+    - LOW-SNR subset: interior contrast scaled by U(snr_lo, 1) — at the
+      low end salt is nearly invisible and the model must miss some;
+    - SMALL-MASK-heavy size distribution (IOUT scores a near-miss on a
+      tiny mask as 0, the dominant real-data penalty);
+    - DECOY empties: salt-looking low-contrast texture patches on a
+      fraction of empty images (false-positive pressure, mirroring the
+      non-salt geology of the real set);
+    - rim present on only ~45% of bodies, drawn on the TEXTURE boundary
+      (not the label).
+    """
+    from scipy.ndimage import distance_transform_edt
+
+    k = REAL_KNOBS
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+    col = np.arange(size, dtype=np.float64)
+    images = np.empty((n, size, size), dtype=np.uint8)
+    masks = np.zeros((n, size, size), dtype=np.uint8)
+    depths = rng.randint(50, 959, size=n)
+
+    def strata():
+        warp = np.zeros(size)
+        for _ in range(3):
+            warp += rng.uniform(1.0, 7.0) * np.sin(
+                2 * np.pi * col / rng.uniform(25, 80)
+                + rng.uniform(0, 2 * np.pi))
+        lam = rng.uniform(5.0, 16.0)
+        band = 22 * np.sin(2 * np.pi * (yy + warp[None, :]) / lam
+                           + rng.uniform(0, 2 * np.pi))
+        band += 10 * np.sin(2 * np.pi * (yy + 0.5 * warp[None, :])
+                            / (lam * 2.7) + rng.uniform(0, 2 * np.pi))
+        return band
+
+    def salt_blob(jx=0.0, jy=0.0):
+        """One salt body; (jx, jy) shifts it (annotation jitter)."""
+        if rng.rand() < 0.4:            # half-space below a wavy boundary
+            b0 = rng.uniform(0.15, 0.9) * size
+            bwarp = np.zeros(size)
+            for _ in range(2):
+                bwarp += rng.uniform(2, 10) * np.sin(
+                    2 * np.pi * col / rng.uniform(40, 130)
+                    + rng.uniform(0, 2 * np.pi))
+            return yy + jy > (b0 + bwarp[None, :])
+        # star-convex dome, size-skewed small via beta(1.2, small_bias)
+        cx, cy = rng.randint(10, size - 10, 2)
+        r0 = 6.0 + 40.0 * rng.beta(1.2, k["small_bias"])
+        ecc = rng.uniform(0.6, 1.6)
+        dx, dy = (xx + jx - cx) * ecc, yy + jy - cy
+        theta = np.arctan2(dy, dx)
+        rad = r0 * np.ones_like(theta)
+        for m in range(2, 6):
+            rad += r0 * (rng.uniform(0, 0.3) / m) * np.sin(
+                m * theta + rng.uniform(0, 2 * np.pi))
+        return np.hypot(dx, dy) < rad
+
+    def paint(base, band, tex, snr):
+        """Blend interior texture into the strata with a feathered
+        boundary; optional rim on the texture contour."""
+        if not tex.any() or tex.all():
+            alpha = tex.astype(np.float64)
+        else:
+            sd = (distance_transform_edt(tex)
+                  - distance_transform_edt(~tex))   # >0 inside
+            bw = rng.uniform(k["feather_lo"], k["feather_hi"])
+            alpha = 1.0 / (1.0 + np.exp(-sd / bw))
+        interior = (0.25 * band + rng.normal(0, 9, (size, size))
+                    + rng.uniform(4, 14))
+        base = base + alpha * snr * (interior + 120.0 - base)
+        if tex.any() and not tex.all() and rng.rand() < k["rim_p"]:
+            rim_band = np.exp(-0.5 * (np.abs(sd) / 1.3) ** 2)
+            base = base + rim_band * snr * rng.uniform(k["rim_lo"],
+                                                       k["rim_hi"])
+        return base
+
+    for i in range(n):
+        z = float(depths[i])
+        band = strata()
+        base = 120.0 + band
+        p_salt = min(1.0, max(0.0, (1.0 - empty_fraction)
+                              * (0.4 + 1.2 * (z - 50.0) / 909.0)))
+        if rng.rand() < p_salt:
+            # annotation jitter: the texture evidence is drawn from a
+            # body offset ~N(0, jitter) from the labelled one
+            state = rng.get_state()
+            jx, jy = rng.normal(0, k["jitter_px"], 2)
+            label = salt_blob(0.0, 0.0)
+            rng.set_state(state)
+            rng.normal(0, k["jitter_px"], 2)   # keep streams aligned
+            tex = salt_blob(jx, jy)
+            if label.any():
+                snr = rng.uniform(k["snr_lo"], k["snr_hi"])
+                base = paint(base, band, tex, snr)
+                masks[i] = label.astype(np.uint8)
+        elif rng.rand() < k["decoy_p"]:
+            # empty image with salt-LOOKING low-contrast texture
+            decoy = salt_blob(0.0, 0.0)
+            if not decoy.all():
+                base = paint(base, band, decoy,
+                             rng.uniform(0.1, k["decoy_snr"]))
+        gx, gy = rng.uniform(-14, 14, 2)
+        base += gx * (xx / size) + gy * (yy / size)
+        base = 128.0 + rng.uniform(0.75, 1.15) * (base - 128.0)
+        base += rng.normal(0, k["noise"], (size, size))
         images[i] = np.clip(base, 0, 255).astype(np.uint8)
     return images, masks, depths
 
