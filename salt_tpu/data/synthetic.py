@@ -141,18 +141,30 @@ def _hard_arrays(n: int, seed: int, empty_fraction: float, size: int
 # 6-fold flagship (UNetResNet34+scSE+hypercolumn) with hflip-TTA lands at
 # CV IOUT 0.78-0.88 — the reference's real-data regime
 # (reference README.md:35-41: solutions 7-9 score 0.829-0.853 CV).
+# Calibration series (tools/calibrate_real.py, single-fold 40-epoch
+# flagship+TTA probe on TPU / evidence-oracle ceiling on 2000 images):
+#   jitter 2.5 decoy .25 snr_lo .15 -> probe 0.620, ORACLE 0.751 (band
+#     unreachable: annotation jitter + decoys crush the ceiling itself)
+#   jitter 1.0 decoy .15 snr_lo .25 -> probe 0.689, oracle 0.892
+#   jitter 1.0 decoy .12 snr_lo .35 -> probe 0.731, oracle ~0.92
+#   jitter 1.0 decoy .12 snr_lo .40 -> probe 0.745, oracle ~0.92  <- SET
+# Single-fold sits ~0.04-0.06 below the 6-fold fold-mean CV number, so
+# these defaults land the matrix (tools/quality_matrix_real.py) at
+# CV IOUT ~0.79-0.82 with ~0.10 of model-improvable headroom below the
+# generator's own ceiling.
 REAL_KNOBS = dict(
-    snr_lo=0.15, snr_hi=1.0,    # interior texture-contrast range
-    jitter_px=2.5,              # label-vs-texture annotation offset (std)
+    snr_lo=0.4, snr_hi=1.0,     # interior texture-contrast range
+    jitter_px=1.0,              # label-vs-texture annotation offset (std)
     feather_lo=0.8, feather_hi=3.0,   # boundary blend half-width (px)
     rim_p=0.45, rim_lo=10.0, rim_hi=30.0,  # top-of-salt reflector rim
     small_bias=2.2,             # beta(1.2, small_bias) skews domes small
-    decoy_p=0.25, decoy_snr=0.35,      # salt-looking texture on EMPTIES
+    decoy_p=0.12, decoy_snr=0.35,      # salt-looking texture on EMPTIES
     noise=12.0,                 # sensor noise std
 )
 
 
-def _real_arrays(n: int, seed: int, empty_fraction: float, size: int
+def _real_arrays(n: int, seed: int, empty_fraction: float, size: int,
+                 knobs: Optional[dict] = None, oracle: Optional[list] = None
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """TGS-lookalike generator calibrated to the REFERENCE's score regime
     (VERDICT r3 #1). The ``hard`` task saturates the flagship at IOUT
@@ -175,10 +187,19 @@ def _real_arrays(n: int, seed: int, empty_fraction: float, size: int
       non-salt geology of the real set);
     - rim present on only ~45% of bodies, drawn on the TEXTURE boundary
       (not the label).
+
+    ``knobs`` overlays :data:`REAL_KNOBS` (calibration only — the CLI
+    always uses the defaults); ``oracle``, if a list, collects the
+    per-image texture-EVIDENCE mask (what a perfect texture segmenter
+    would predict: the jittered body on salt images, the decoy on decoy
+    empties, zeros elsewhere) so tools/calibrate_real.py can measure
+    the generator's score ceiling without training anything. Neither
+    parameter touches the RNG stream: (knobs, oracle) leave the arrays
+    for any fixed (n, seed, empty_fraction, size) unchanged.
     """
     from scipy.ndimage import distance_transform_edt
 
-    k = REAL_KNOBS
+    k = dict(REAL_KNOBS, **(knobs or {}))
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
     col = np.arange(size, dtype=np.float64)
@@ -244,6 +265,7 @@ def _real_arrays(n: int, seed: int, empty_fraction: float, size: int
         z = float(depths[i])
         band = strata()
         base = 120.0 + band
+        evidence = None
         p_salt = min(1.0, max(0.0, (1.0 - empty_fraction)
                               * (0.4 + 1.2 * (z - 50.0) / 909.0)))
         if rng.rand() < p_salt:
@@ -259,12 +281,18 @@ def _real_arrays(n: int, seed: int, empty_fraction: float, size: int
                 snr = rng.uniform(k["snr_lo"], k["snr_hi"])
                 base = paint(base, band, tex, snr)
                 masks[i] = label.astype(np.uint8)
+                evidence = tex
         elif rng.rand() < k["decoy_p"]:
             # empty image with salt-LOOKING low-contrast texture
             decoy = salt_blob(0.0, 0.0)
             if not decoy.all():
                 base = paint(base, band, decoy,
                              rng.uniform(0.1, k["decoy_snr"]))
+                evidence = decoy
+        if oracle is not None:
+            oracle.append(np.zeros((size, size), np.uint8)
+                          if evidence is None else
+                          evidence.astype(np.uint8))
         gx, gy = rng.uniform(-14, 14, 2)
         base += gx * (xx / size) + gy * (yy / size)
         base = 128.0 + rng.uniform(0.75, 1.15) * (base - 128.0)
