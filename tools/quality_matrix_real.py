@@ -61,7 +61,11 @@ def _flags(seed, exp_dir, **sets):
     return out
 
 
-def run_seed(seed: int, epochs: int = EPOCHS) -> dict:
+ALL_STAGES = ("full", "loss", "ensemble", "int8")
+
+
+def run_seed(seed: int, epochs: int = EPOCHS,
+             stages=ALL_STAGES) -> dict:
     from salt_tpu import cli
     from salt_tpu.pipeline.ensemble import (_load_aligned,
                                             average_probabilities)
@@ -69,9 +73,39 @@ def run_seed(seed: int, epochs: int = EPOCHS) -> dict:
 
     base = f"{ROOT}/seed{seed}"
     os.makedirs(base, exist_ok=True)
-    result = {"seed": seed, "epochs": epochs, "n_images": N_IMAGES}
+    result = {"seed": seed, "epochs": epochs, "n_images": N_IMAGES,
+              "stages": list(stages)}
+    # a rerun with more stages extends the existing per-seed record
+    prev = f"{base}/matrix_seed.json"
+    if os.path.exists(prev):
+        result = {**json.load(open(prev)), **result}
+        result["stages"] = sorted(set(json.load(open(prev)).get(
+            "stages", list(ALL_STAGES))) | set(stages))
 
     # ---- 1. full solution (seg CV / emptiness / stacking / gating)
+    if "full" in stages:
+        _run_full(seed, epochs, base, result, cli)
+
+    # ---- 2. loss A/B (single fold, identical split/budget)
+    if "loss" in stages:
+        loss_val = _run_loss_ab(seed, epochs, base, result, cli)
+
+    # ---- 3. cross-experiment ensemble on the shared fold-0 validation
+    if "ensemble" in stages:
+        _run_ensemble(seed, base, result, _load_aligned,
+                      average_probabilities, batch_iou_iout_np)
+
+    # ---- 4. int8 gate: same lovasz checkpoint, quantized predict path
+    if "int8" in stages:
+        _run_int8(seed, base, result, loss_val if "loss" in stages else None)
+
+    with open(f"{base}/matrix_seed.json", "w") as f:
+        json.dump(result, f, indent=2, default=float)
+    print(json.dumps(result, indent=1, default=float), flush=True)
+    return result
+
+
+def _run_full(seed, epochs, base, result, cli):
     rc = cli.main(["full-solution", "--workdir", base,
                    "--epochs", str(epochs),
                    "--stacking-epochs", str(STACK_EPOCHS),
@@ -92,7 +126,8 @@ def run_seed(seed: int, epochs: int = EPOCHS) -> dict:
     result["gating_delta"] = (gate["gated"]["iout"]
                               - gate["ungated"]["iout"])
 
-    # ---- 2. loss A/B (single fold, identical split/budget)
+
+def _run_loss_ab(seed, epochs, base, result, cli):
     loss_val = {}
     for loss in ("lovasz", "focal_weighted"):
         exp_dir = f"{base}/loss_{loss}"
@@ -107,8 +142,11 @@ def run_seed(seed: int, epochs: int = EPOCHS) -> dict:
         result[f"loss_{loss}_iout"] = loss_val[loss]["iout"]
     result["loss_delta_lovasz_minus_focalw"] = (
         result["loss_lovasz_iout"] - result["loss_focal_weighted_iout"])
+    return loss_val
 
-    # ---- 3. cross-experiment ensemble on the shared fold-0 validation
+
+def _run_ensemble(seed, base, result, _load_aligned,
+                  average_probabilities, batch_iou_iout_np):
     from salt_tpu.data.bundle import synthetic_bundle
     bundle = synthetic_bundle(N_IMAGES, seed=seed, difficulty="real")
     dirs = [f"{base}/loss_lovasz", f"{base}/loss_focal_weighted"]
@@ -126,10 +164,17 @@ def run_seed(seed: int, epochs: int = EPOCHS) -> dict:
     result["ensemble_iout"] = float(per_iout.mean())
     result["ensemble_delta"] = result["ensemble_iout"] - max(members)
 
-    # ---- 4. int8 gate: same lovasz checkpoint, quantized predict path
+
+def _run_int8(seed, base, result, loss_val):
     from salt_tpu.core.config import load_config
     from salt_tpu.core.experiment import Experiment
+    from salt_tpu.data.bundle import synthetic_bundle
     from salt_tpu.pipeline import api
+    bundle = synthetic_bundle(N_IMAGES, seed=seed, difficulty="real")
+    dirs = [f"{base}/loss_lovasz", f"{base}/loss_focal_weighted"]
+    if loss_val is None:
+        loss_val = {"lovasz": json.load(open(
+            os.path.join(dirs[0], "validation_results.json")))}
     int8_json = os.path.join(base, "int8_gate.json")
     if not os.path.exists(int8_json):
         cfg = load_config(None, {
@@ -152,11 +197,6 @@ def run_seed(seed: int, epochs: int = EPOCHS) -> dict:
     gate8 = json.load(open(int8_json))
     result["int8_iout_delta"] = gate8["iout_delta"]
 
-    with open(f"{base}/matrix_seed.json", "w") as f:
-        json.dump(result, f, indent=2, default=float)
-    print(json.dumps(result, indent=1, default=float), flush=True)
-    return result
-
 
 def report() -> dict:
     seeds = sorted(int(d[4:]) for d in os.listdir(ROOT)
@@ -172,12 +212,16 @@ def report() -> dict:
     print(f"\n== real-difficulty quality matrix ({len(seeds)} seeds) ==")
     print(f"{'metric':38s} {'mean':>9s} {'std':>8s}  per-seed")
     for key in keys:
-        vals = np.asarray([r[key] for r in rows], np.float64)
+        have = [(r["seed"], r[key]) for r in rows if key in r]
+        if not have:
+            continue
+        vals = np.asarray([v for _, v in have], np.float64)
         agg[key] = {"mean": float(vals.mean()),
                     "std": float(vals.std(ddof=1)) if len(vals) > 1 else 0.0,
+                    "seeds": [s for s, _ in have],
                     "values": vals.tolist()}
         print(f"{key:38s} {vals.mean():+9.4f} {agg[key]['std']:8.4f}  "
-              + " ".join(f"{v:+.4f}" for v in vals))
+              + " ".join(f"s{s}:{v:+.4f}" for s, v in have))
     with open(f"{ROOT}/matrix.json", "w") as f:
         json.dump(agg, f, indent=2)
     return agg
@@ -191,7 +235,16 @@ def main(argv):
     ap.add_argument("--epochs", type=int, default=EPOCHS)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU plumbing check of all 4 stages")
+    ap.add_argument("--stages", default=",".join(ALL_STAGES),
+                    help="comma list of stages to run per seed "
+                         f"(subset of {','.join(ALL_STAGES)}); the "
+                         "single-fold stages (loss,ensemble,int8) give "
+                         "cheap extra seeds when the 6-fold full-solution "
+                         "budget doesn't fit")
     args = ap.parse_args(argv)
+    stages = tuple(s for s in args.stages.split(",") if s)
+    unknown = set(stages) - set(ALL_STAGES)
+    assert not unknown, f"unknown stages: {unknown}"
     if args.smoke:
         os.environ.setdefault("SALT_TPU_PLATFORM", "cpu")
         import jax                    # sitecustomize pins axon; repin
@@ -208,7 +261,7 @@ def main(argv):
         })
     if args.mode == "run":
         for s in args.seeds:          # sequential: one TPU claim
-            run_seed(s, epochs=args.epochs)
+            run_seed(s, epochs=args.epochs, stages=stages)
     report()
 
 
