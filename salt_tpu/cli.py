@@ -113,6 +113,10 @@ def main(argv=None):
     parser.add_argument("--distill-alpha", type=float, default=None,
                         help="distill: weight of the soft-target BCE vs "
                              "the hard-mask training.loss")
+    parser.add_argument("--measure-throughput", action="store_true",
+                        help="distill: also measure the trained student's "
+                             "steady-state TTA images/sec in-process and "
+                             "record it in distill_report.json")
     parser.add_argument("--checkpoint", default="",
                         help="serve: best.npz file, experiment dir, or CV "
                              "experiment dir (fold checkpoints ensembled)")
@@ -393,6 +397,7 @@ def main(argv=None):
             raise SystemExit("distill requires --teacher "
                              "<cv-experiment-dir>")
         print(distill(cfg, experiment, train_b, args.teacher,
+                      measure_throughput=args.measure_throughput,
                       test_bundle=None))
     elif args.command == "stacking-cv":
         from salt_tpu.pipeline import stacking

@@ -213,13 +213,23 @@ class Experiment:
 
 def _atomic_savez(path: str, compressed: bool = False, **arrays) -> None:
     """np.savez into a sibling temp file, then os.replace (atomic on
-    POSIX) — interrupted saves leave the previous file intact."""
+    POSIX) — interrupted saves leave the previous file intact. Recreates
+    the parent directory: an hours-long CV run must not die at its final
+    artifact write because something removed the experiment tree
+    mid-run (this happened: a concurrent cleanup deleted the tree under
+    a live 6-fold run, which then crashed only at save_predictions)."""
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = path + ".tmp.npz"
     (np.savez_compressed if compressed else np.savez)(tmp, **arrays)
     os.replace(tmp, path)
 
 
 def _atomic_write_text(path: str, text: str) -> None:
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         f.write(text)

@@ -61,8 +61,26 @@ def load_teacher_probs(teacher_dir: str, ids) -> np.ndarray:
     return np.clip(probs.astype(np.float32), 0.0, 1.0)
 
 
+def _measure_student_throughput(runner, state, n: int = 2048) -> float:
+    """Steady-state student TTA images/sec through predict_dataset
+    (bench.py's timing discipline: warm pass first, then one timed pass
+    whose return is host numpy — the relay's ``block_until_ready`` lies,
+    so only a D2H-complete call is trustworthy; see CLAUDE.md)."""
+    import time
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 256, size=(n, 101, 101), dtype=np.uint8)
+    depths = (np.linspace(50.0, 900.0, n).astype(np.float32)
+              if runner.use_depth else None)
+    runner.predict_dataset(state, images, depths, tta=True)      # warm
+    t0 = time.perf_counter()
+    probs = runner.predict_dataset(state, images, depths, tta=True)
+    dt = time.perf_counter() - t0
+    assert probs.shape[0] == n
+    return n / dt
+
+
 def distill(config: Config, experiment: Experiment, bundle: DataBundle,
-            teacher_dir: str,
+            teacher_dir: str, measure_throughput: bool = False,
             test_bundle: Optional[DataBundle] = None) -> Dict[str, float]:
     """Train the configured student on the teacher's soft targets; report
     the quality delta on the teacher's own held-out split."""
@@ -109,6 +127,11 @@ def distill(config: Config, experiment: Experiment, bundle: DataBundle,
         "teacher_iou": t_iou, "teacher_iout": t_iout,
         "iout_delta": s_iout - t_iout,
     }
+    if measure_throughput:
+        report["student_tta_images_per_sec"] = _measure_student_throughput(
+            runner, state)
+        logger.info("student TTA throughput: %.1f img/s",
+                    report["student_tta_images_per_sec"])
     experiment.save_json("distill_report", report)
     logger.info("distill: student IOUT %.4f vs teacher %.4f (delta %+.4f)",
                 s_iout, t_iout, s_iout - t_iout)

@@ -96,6 +96,23 @@ def test_experiment_predictions_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded["images"], imgs)
 
 
+def test_artifact_writes_survive_deleted_experiment_tree(tmp_path):
+    """An external cleanup deleting the experiment tree under a live
+    run must not kill it at the final artifact write: _atomic_savez /
+    _atomic_write_text recreate the parent directory. (Happened for
+    real: an `rm -rf output/...` under a 6-fold TPU run crashed it at
+    save_predictions after 6 folds of training.)"""
+    import shutil
+    exp = Experiment(str(tmp_path / "exp"))
+    shutil.rmtree(str(tmp_path / "exp"))
+    imgs = np.random.rand(2, 101, 101).astype(np.float32)
+    exp.save_predictions("out_of_fold_train_predictions", ["a", "b"], imgs)
+    exp.save_json("cv_scores", {"iout_mean": 0.5})
+    assert exp.load_predictions("out_of_fold_train_predictions")["ids"] == \
+        ["a", "b"]
+    assert exp.load_json("cv_scores")["iout_mean"] == 0.5
+
+
 def test_experiment_clone_and_overwrite(tmp_path):
     src = Experiment(str(tmp_path / "src"))
     src.save_json("validation_results", {"iout": 0.9})

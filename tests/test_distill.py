@@ -127,6 +127,28 @@ def test_distill_cli_end_to_end(tmp_path, monkeypatch):
                                        "best.npz"))
 
 
+def test_measure_student_throughput_contract():
+    """The --measure-throughput probe times a full warm+timed
+    predict_dataset pass (TTA) and returns img/s from the timed one."""
+    from salt_tpu.pipeline.distill import _measure_student_throughput
+
+    class StubRunner:
+        use_depth = True
+        calls = []
+
+        def predict_dataset(self, state, images, depths, tta):
+            assert images.dtype == np.uint8
+            assert depths is not None and len(depths) == len(images)
+            assert tta is True
+            self.calls.append(len(images))
+            return np.zeros((len(images), 2, 101, 101), np.float32)
+
+    runner = StubRunner()
+    rate = _measure_student_throughput(runner, state=None, n=16)
+    assert runner.calls == [16, 16]          # warm pass + timed pass
+    assert rate > 0
+
+
 def test_distill_requires_teacher_oof(tmp_path, cpu_config):
     from salt_tpu.pipeline.distill import load_teacher_probs
     with pytest.raises(FileNotFoundError, match="out_of_fold"):
