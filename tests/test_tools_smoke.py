@@ -1,0 +1,90 @@
+"""Plumbing smokes for the measurement harnesses in tools/.
+
+The multi-hour TPU evidence runs (tools/quality_matrix_real.py — the
+multi-seed quality matrix on the calibrated ``real`` difficulty — and
+tools/distill_curve.py — the student throughput/quality sweep) are
+plain scripts over cli.main; a wiring regression there costs hours of
+TPU time before it surfaces. Each tool carries a --smoke mode (tiny
+budgets, CPU); these tests pin that the smoke path runs end-to-end and
+produces the artifact keys the aggregation steps consume.
+"""
+import importlib.util
+import json
+import os
+
+import pytest
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools")
+
+
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(TOOLS, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_quality_matrix_smoke_all_stages(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    qm = _load_tool("quality_matrix_real")
+    qm.main(["run", "--seeds", "7", "--smoke"])
+    seed = json.load(open(tmp_path / "output/real_q_smoke/seed7/"
+                                     "matrix_seed.json"))
+    assert {"seg_cv_iout", "stacking_delta", "gating_delta",
+            "emptiness_auc", "loss_delta_lovasz_minus_focalw",
+            "ensemble_delta", "int8_iout_delta"} <= set(seed)
+    agg = json.load(open(tmp_path / "output/real_q_smoke/matrix.json"))
+    assert agg["seeds"] == [7]
+    assert "seg_cv_iout" in agg
+
+
+@pytest.mark.slow
+def test_quality_matrix_stage_subset_extends_record(tmp_path, monkeypatch):
+    """--stages reruns only the named stages and MERGES into the
+    existing per-seed record (cheap extra seeds for the single-fold
+    metrics)."""
+    monkeypatch.chdir(tmp_path)
+    qm = _load_tool("quality_matrix_real")
+    qm.main(["run", "--seeds", "7", "--smoke", "--stages", "loss"])
+    seed = json.load(open(tmp_path / "output/real_q_smoke/seed7/"
+                                     "matrix_seed.json"))
+    assert "loss_lovasz_iout" in seed and "seg_cv_iout" not in seed
+    qm2 = _load_tool("quality_matrix_real")
+    qm2.main(["run", "--seeds", "7", "--smoke", "--stages",
+              "ensemble,int8"])
+    seed = json.load(open(tmp_path / "output/real_q_smoke/seed7/"
+                                     "matrix_seed.json"))
+    assert {"loss_lovasz_iout", "ensemble_delta",
+            "int8_iout_delta"} <= set(seed)
+    assert sorted(seed["stages"]) == ["ensemble", "int8", "loss"]
+
+
+@pytest.mark.slow
+def test_distill_curve_smoke(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from salt_tpu import cli
+    teacher = str(tmp_path / "teacher")
+    rc = cli.main([
+        "train-evaluate-cv", "--synthetic", "32",
+        "--synthetic-difficulty", "real",
+        "--set", "execution.seed=0",
+        "--set", f"paths.experiment_dir={teacher}",
+        "--set", "model.architecture=SaltUNet",
+        "--set", "model.n_filters=8", "--set", "model.repeat_blocks=2",
+        "--set", "training.dtype=float32", "--set", "training.epochs=1",
+        "--set", "execution.n_cv_splits=2",
+        "--set", "training.batch_size_train=8",
+        "--set", "training.batch_size_inference=8",
+        "--set", "postpro.use_tta=false"])
+    assert rc == 0
+    dc = _load_tool("distill_curve")
+    dc.main(["--teacher", teacher, "--smoke",
+             "--students", "saltunet16"])
+    curve = json.load(open(tmp_path / "distill_curve.json"))
+    rep = curve["students"]["saltunet16"]
+    assert {"student_iout", "teacher_iout", "iout_delta"} <= set(rep)
+    # smoke skips the TPU throughput probe by design
+    assert "student_tta_images_per_sec" not in rep
