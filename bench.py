@@ -140,6 +140,33 @@ def measure_multichip_scaling(cfg, single_chip_ips):
     return agg
 
 
+def emit_distill_context():
+    """Surface the measured distillation curve (tools/distill_curve.py:
+    per-student TTA throughput + IOUT delta vs the CV fold-ensemble
+    teacher) as context metrics — the capability-level answer to the
+    5000 img/s line (VERDICT r3 #4). Reads the newest persisted
+    artifact; costs no device time."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    curves = glob.glob(os.path.join(here, "output", "**",
+                                    "distill_curve.json"), recursive=True)
+    if not curves:
+        return
+    path = max(curves, key=os.path.getmtime)
+    with open(path) as f:
+        curve = json.load(f)
+    for name, rep in curve.get("students", {}).items():
+        ips = rep.get("student_tta_images_per_sec")
+        if ips is None:
+            continue
+        context(f"distill_{name}", ips, "images/sec/chip",
+                iout_delta=round(float(rep["iout_delta"]), 4),
+                teacher_iout=round(float(rep["teacher_iout"]), 4),
+                student_iout=round(float(rep["student_iout"]), 4),
+                vs_5000_target=round(float(ips) / BASELINE_IMAGES_PER_SEC,
+                                     3))
+
+
 def main():
     from salt_tpu.core.config import default_config
     from salt_tpu.train.steps import SegmentationRunner
@@ -184,6 +211,11 @@ def main():
                     "images/sec", note="prepare+H2D+compute, one chunk")
         except Exception as e:
             print(f"context metric serve skipped: {e}", file=sys.stderr)
+
+    try:
+        emit_distill_context()
+    except Exception as e:
+        print(f"context: distill curve skipped: {e}", file=sys.stderr)
 
     try:
         measure_multichip_scaling(cfg, tta_ips)
