@@ -140,16 +140,18 @@ def measure_multichip_scaling(cfg, single_chip_ips):
     return agg
 
 
-def emit_distill_context():
+def emit_distill_context(root=None):
     """Surface the measured distillation curve (tools/distill_curve.py:
     per-student TTA throughput + IOUT delta vs the CV fold-ensemble
     teacher) as context metrics — the capability-level answer to the
     5000 img/s line (VERDICT r3 #4). Reads the newest persisted
     artifact; costs no device time."""
     import glob
-    here = os.path.dirname(os.path.abspath(__file__))
-    curves = glob.glob(os.path.join(here, "output", "**",
-                                    "distill_curve.json"), recursive=True)
+    if root is None:
+        root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "output")
+    curves = glob.glob(os.path.join(root, "**", "distill_curve.json"),
+                       recursive=True)
     if not curves:
         return
     path = max(curves, key=os.path.getmtime)

@@ -88,3 +88,26 @@ def test_distill_curve_smoke(tmp_path, monkeypatch):
     assert {"student_iout", "teacher_iout", "iout_delta"} <= set(rep)
     # smoke skips the TPU throughput probe by design
     assert "student_tta_images_per_sec" not in rep
+
+
+def test_bench_distill_context_reads_curve_artifact(tmp_path):
+    """bench.py surfaces the newest persisted distill curve as context
+    metrics (students without a measured throughput are skipped)."""
+    import importlib
+    bench = importlib.import_module("bench")
+    (tmp_path / "seed0").mkdir()
+    with open(tmp_path / "seed0" / "distill_curve.json", "w") as f:
+        json.dump({"teacher": "t", "students": {
+            "saltunet16": {"student_tta_images_per_sec": 7500.0,
+                           "iout_delta": -0.05, "teacher_iout": 0.80,
+                           "student_iout": 0.75},
+            "unmeasured": {"iout_delta": 0.0, "teacher_iout": 0.8,
+                           "student_iout": 0.8}}}, f)
+    bench._CONTEXT.clear()
+    bench.emit_distill_context(root=str(tmp_path))
+    assert set(bench._CONTEXT) == {"distill_saltunet16"}
+    rec = bench._CONTEXT["distill_saltunet16"]
+    assert rec["value"] == 7500.0
+    assert rec["iout_delta"] == -0.05
+    assert rec["vs_5000_target"] == 1.5
+    bench._CONTEXT.clear()
