@@ -90,6 +90,33 @@ def test_distill_curve_smoke(tmp_path, monkeypatch):
     assert "student_tta_images_per_sec" not in rep
 
 
+def test_quality_matrix_report_aggregates_partial_rows(tmp_path,
+                                                       monkeypatch):
+    """report() must aggregate each metric over only the seeds that
+    measured it — a seed run with --stages loss,ensemble,int8 (no
+    6-fold full stage) contributes to the loss/ensemble rows but not
+    to seg_cv_iout."""
+    monkeypatch.chdir(tmp_path)
+    qm = _load_tool("quality_matrix_real")
+    root = tmp_path / "output" / "real_q"
+    for seed, row in ((0, {"loss_lovasz_iout": 0.76, "seg_cv_iout": 0.76,
+                           "ensemble_delta": 0.014}),
+                      (1, {"loss_lovasz_iout": 0.75,
+                           "ensemble_delta": 0.015})):
+        d = root / f"seed{seed}"
+        d.mkdir(parents=True)
+        with open(d / "matrix_seed.json", "w") as f:
+            json.dump({"seed": seed, **row}, f)
+    qm.ROOT = str(root)
+    agg = qm.report()
+    assert agg["seeds"] == [0, 1]
+    assert agg["seg_cv_iout"]["seeds"] == [0]
+    assert agg["seg_cv_iout"]["std"] == 0.0
+    assert agg["ensemble_delta"]["seeds"] == [0, 1]
+    assert abs(agg["ensemble_delta"]["mean"] - 0.0145) < 1e-12
+    assert json.load(open(root / "matrix.json"))["seeds"] == [0, 1]
+
+
 def test_bench_distill_context_reads_curve_artifact(tmp_path):
     """bench.py surfaces the newest persisted distill curve as context
     metrics (students without a measured throughput are skipped)."""
