@@ -16,9 +16,11 @@ explicit artifact store. The observable behaviors preserved:
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import tempfile
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -217,23 +219,42 @@ def _atomic_savez(path: str, compressed: bool = False, **arrays) -> None:
     the parent directory: an hours-long CV run must not die at its final
     artifact write because something removed the experiment tree
     mid-run (this happened: a concurrent cleanup deleted the tree under
-    a live 6-fold run, which then crashed only at save_predictions)."""
+    a live 6-fold run, which then crashed only at save_predictions).
+    The temp name is unique per writer (mkstemp): two processes saving
+    the same checkpoint concurrently must each land a complete file
+    instead of racing on a shared ``path + .tmp`` (this also happened:
+    duplicated waiter chains running the same deterministic training
+    both reached os.replace and one crashed on the other's rename)."""
     parent = os.path.dirname(path)
     if parent:
         os.makedirs(parent, exist_ok=True)
-    tmp = path + ".tmp.npz"
-    (np.savez_compressed if compressed else np.savez)(tmp, **arrays)
-    os.replace(tmp, path)
+    fd, tmp = tempfile.mkstemp(dir=parent or ".",
+                               prefix=os.path.basename(path) + ".tmp.",
+                               suffix=".npz")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            (np.savez_compressed if compressed else np.savez)(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
 
 
 def _atomic_write_text(path: str, text: str) -> None:
     parent = os.path.dirname(path)
     if parent:
         os.makedirs(parent, exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(text)
-    os.replace(tmp, path)
+    fd, tmp = tempfile.mkstemp(dir=parent or ".",
+                               prefix=os.path.basename(path) + ".tmp.")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.unlink(tmp)
+        raise
 
 
 def _path_str(p: Any) -> str:

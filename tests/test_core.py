@@ -113,6 +113,46 @@ def test_artifact_writes_survive_deleted_experiment_tree(tmp_path):
     assert exp.load_json("cv_scores")["iout_mean"] == 0.5
 
 
+def test_concurrent_writers_to_same_checkpoint_path(tmp_path):
+    """Two WRITERS (threads here; processes in production) saving the
+    same checkpoint path concurrently must both complete and leave a
+    valid file. The old implementation shared one ``path + .tmp.npz``
+    temp name, so one writer's os.replace removed the temp under the
+    other, which crashed with FileNotFoundError. (Happened for real:
+    two duplicated waiter chains ran the same deterministic distill
+    training into one experiment dir and one died at the final flush.)"""
+    import threading
+
+    from salt_tpu.core.experiment import _atomic_savez, _atomic_write_text
+
+    npz = str(tmp_path / "best.npz")
+    txt = str(tmp_path / "best.json")
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def writer(val):
+        try:
+            barrier.wait()
+            for i in range(40):
+                _atomic_savez(npz, x=np.full((16,), val + i))
+                _atomic_write_text(txt, f"{val + i}")
+        except Exception as e:      # pragma: no cover - the regression
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(v,))
+               for v in (0, 1000)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    data = np.load(npz)["x"]                 # complete, loadable npz
+    assert data.shape == (16,) and len(set(data.tolist())) == 1
+    int(open(txt).read())                    # complete text write
+    leftovers = [p for p in os.listdir(str(tmp_path)) if ".tmp" in p]
+    assert not leftovers, leftovers          # no orphaned temp files
+
+
 def test_experiment_clone_and_overwrite(tmp_path):
     src = Experiment(str(tmp_path / "src"))
     src.save_json("validation_results", {"iout": 0.9})
