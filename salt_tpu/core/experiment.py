@@ -17,6 +17,7 @@ explicit artifact store. The observable behaviors preserved:
 from __future__ import annotations
 
 import contextlib
+import datetime
 import json
 import os
 import shutil
@@ -83,10 +84,42 @@ class Experiment:
             return True
         return epochs is not None and int(meta.get("epoch", -1)) + 1 >= epochs
 
+    def _note_writer(self) -> None:
+        """Warn-only concurrent-writer detection (the reference has no
+        race detection at all; SURVEY §5). Records this process in
+        ``<dir>/.writer.json`` on the first checkpoint write; if the
+        file names a DIFFERENT pid that is still alive on this host,
+        logs a warning — two live writers race on checkpoints/artifacts
+        and produce undefined last-write-wins state (observed: two
+        duplicated waiter chains training into one experiment dir).
+        Never fails the run: a stale claim from a killed process is
+        detected by pid liveness, not by file age."""
+        if getattr(self, "_writer_noted", False):
+            return
+        self._writer_noted = True
+        claim = os.path.join(self.directory, ".writer.json")
+        try:
+            prev = json.load(open(claim))
+            pid = int(prev.get("pid", -1))
+            if pid > 0 and pid != os.getpid():
+                os.kill(pid, 0)             # raises if not alive
+                logger.warning(
+                    "experiment dir %s is being written by another live "
+                    "process (pid %d, since %s) — concurrent writers race "
+                    "on checkpoints and artifacts", self.directory, pid,
+                    prev.get("started", "?"))
+        except (OSError, ValueError, json.JSONDecodeError):
+            pass                            # no claim / stale pid / junk
+        _atomic_write_text(claim, json.dumps(
+            {"pid": os.getpid(),
+             "started": datetime.datetime.now().isoformat(
+                 timespec="seconds")}))
+
     def save_params(self, name: str, params: Any, tag: str = "best",
                     meta: Optional[dict] = None) -> str:
         """Persist a pytree of arrays as a flat npz (keys are '/'-joined paths)."""
         import jax
+        self._note_writer()
         flat, treedef = jax.tree_util.tree_flatten_with_path(params)
         arrays = {}
         for path, leaf in flat:

@@ -153,6 +153,34 @@ def test_concurrent_writers_to_same_checkpoint_path(tmp_path):
     assert not leftovers, leftovers          # no orphaned temp files
 
 
+def test_concurrent_writer_detection_warns_not_fails(tmp_path, caplog):
+    """A second live process writing the same experiment dir is
+    DETECTED (warning log) but never fatal; a stale claim from a dead
+    pid is silently superseded."""
+    import json
+    import logging
+
+    exp = Experiment(str(tmp_path / "e"))
+    claim = str(tmp_path / "e" / ".writer.json")
+    # live foreign writer: pid 1 (init) is always alive
+    with open(claim, "w") as f:
+        json.dump({"pid": 1, "started": "t0"}, f)
+    with caplog.at_level(logging.WARNING, logger="salt-tpu"):
+        exp.save_params("net", {"w": np.ones(2, np.float32)})
+    assert any("another live process" in r.message for r in caplog.records)
+    assert json.load(open(claim))["pid"] == os.getpid()  # claim taken over
+
+    # stale claim (dead pid) on a fresh experiment: no warning
+    caplog.clear()
+    exp2 = Experiment(str(tmp_path / "e2"))
+    with open(str(tmp_path / "e2" / ".writer.json"), "w") as f:
+        json.dump({"pid": 2 ** 22 + 11, "started": "t0"}, f)  # > pid_max
+    with caplog.at_level(logging.WARNING, logger="salt-tpu"):
+        exp2.save_params("net", {"w": np.ones(2, np.float32)})
+    assert not [r for r in caplog.records
+                if "another live process" in r.message]
+
+
 def test_experiment_clone_and_overwrite(tmp_path):
     src = Experiment(str(tmp_path / "src"))
     src.save_json("validation_results", {"iout": 0.9})
