@@ -195,7 +195,8 @@ def main(argv=None):
         print(serve(cfg, args.checkpoint, args.images_dir,
                     args.out or "submission.csv",
                     args.probs_out, synthetic=args.synthetic,
-                    synthetic_difficulty=args.synthetic_difficulty))
+                    synthetic_difficulty=args.synthetic_difficulty,
+                    user_set=tuple(overrides)))
         return 0
 
     if args.command == "ensemble":

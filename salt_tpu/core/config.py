@@ -222,6 +222,15 @@ class Config:
     def replace(self, **sections: Any) -> "Config":
         return dataclasses.replace(self, **sections)
 
+    def to_dict(self) -> dict:
+        """Nested {section: {field: value}} dict (the native-YAML layout
+        load_config reads back); persisted as <exp_dir>/config.json at
+        fit time so inference entry points can reconstruct the trained
+        model without the caller re-stating every model.* flag (the
+        reference gets this for free from steppy's pickled transformers,
+        reference: common_blocks/utils.py:462-467)."""
+        return dataclasses.asdict(self)
+
 
 def default_config() -> Config:
     return Config()

@@ -82,6 +82,10 @@ def _lr_schedule_callbacks(t) -> List:
 def _make_callbacks(config: Config, experiment: Experiment, name: str,
                     runner: Optional[SegmentationRunner] = None,
                     valid_b: Optional[DataBundle] = None) -> CallbackList:
+    # every fit path passes through here exactly once per trained model:
+    # persist the full config so inference entry points (serve) can
+    # reconstruct the trained architecture from the experiment dir alone
+    experiment.save_json("config", config.to_dict())
     t = config.training
     image_monitor = []
     if t.validation_images_every and runner is not None and valid_b is not None:

@@ -45,6 +45,7 @@ def _classifier_config(config: Config) -> Config:
 
 
 def _callbacks(cfg: Config, experiment: Experiment, name: str) -> CallbackList:
+    experiment.save_json("config", cfg.to_dict())   # see api._make_callbacks
     t = cfg.training
     return CallbackList([
         ExperimentTiming(),

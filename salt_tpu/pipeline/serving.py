@@ -32,6 +32,57 @@ from salt_tpu.core.logging import get_logger
 logger = get_logger()
 
 
+#: sections/fields rebuilt from the experiment's persisted config.json
+#: so the served network matches the trained one. model.quant_bits is
+#: excluded (int8 is a SERVING choice, --int8); postpro is excluded
+#: (tta/threshold are serving choices too).
+_ADOPT_FIELDS = {
+    "model": None,                       # None = every field but quant_bits
+    "execution": ("loader_mode", "pad_method", "resize_target_size",
+                  "pad_size"),
+    "image": ("h", "w", "channels"),
+    "training": ("dtype",),
+}
+
+
+def adopt_checkpoint_config(config: Config, checkpoint: str,
+                            user_set: Sequence[str] = ()) -> Config:
+    """When ``checkpoint`` is an experiment dir with a persisted
+    ``config.json`` (written at fit time), rebuild the model- and
+    preprocessing-defining fields from it so serving a differently
+    configured network (a distilled SaltUNet student, a depth-18
+    encoder, a resize-mode run) needs no re-stating of model.* flags —
+    the behavior steppy's pickled transformers give the reference
+    (reference: common_blocks/utils.py:462-467). Explicit ``--set``
+    overrides (``user_set`` dotted keys) win per-field."""
+    import json
+    if not os.path.isdir(checkpoint):
+        return config
+    path = os.path.join(checkpoint, "config.json")
+    if not os.path.exists(path):
+        return config
+    raw = json.load(open(path))
+    adopted = []
+    for section, fields in _ADOPT_FIELDS.items():
+        saved = raw.get(section, {})
+        sub = getattr(config, section)
+        names = [f for f in saved if fields is None or f in fields]
+        for f in names:
+            if section == "model" and f == "quant_bits":
+                continue
+            if f"{section}.{f}" in user_set or not hasattr(sub, f):
+                continue
+            old = getattr(sub, f)
+            val = saved[f]
+            if old != val:
+                adopted.append(f"{section}.{f}={val!r}")
+            setattr(sub, f, val)
+    if adopted:
+        logger.info("adopted trained config from %s: %s", path,
+                    ", ".join(adopted))
+    return config
+
+
 def resolve_checkpoints(path: str) -> List[str]:
     """A .npz file, an experiment dir (checkpoints/network/best.npz), or
     a CV experiment dir (checkpoints/network_fold_*/best.npz -> fold
@@ -162,7 +213,8 @@ class _ProbsWriter:
 def serve(config: Config, checkpoint: str, images_dir: str,
           out_csv: str = "submission.csv", probs_out: str = "",
           synthetic: int = 0, chunk_size: int = 8192,
-          synthetic_difficulty: str = "easy") -> dict:
+          synthetic_difficulty: str = "easy",
+          user_set: Sequence[str] = ()) -> dict:
     """Run the full inference stack and write the submission. Returns
     {"n": N, "images_per_sec": float, "submission": path}.
 
@@ -173,6 +225,8 @@ def serve(config: Config, checkpoint: str, images_dir: str,
     from salt_tpu.ops.rle import create_submission
     from salt_tpu.train.steps import SegmentationRunner
 
+    if checkpoint:
+        config = adopt_checkpoint_config(config, checkpoint, user_set)
     if synthetic:
         from salt_tpu.data.bundle import synthetic_bundle
         b = synthetic_bundle(synthetic, seed=config.execution.seed,

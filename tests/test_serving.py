@@ -107,6 +107,55 @@ def test_serve_restores_checkpoint(tmp_path, cpu_config):
                                atol=1e-3)
 
 
+def test_serve_adopts_trained_config_from_experiment_dir(tmp_path,
+                                                         cpu_config):
+    """Serving an experiment dir whose model differs from the caller's
+    config (here: a SaltUNet student served with the flagship-default
+    config) must rebuild the trained architecture from the persisted
+    config.json instead of failing the checkpoint restore — the steppy
+    pickled-transformer behavior (reference: utils.py:462-467).
+    Explicit --set overrides (user_set) win per-field."""
+    from salt_tpu.core.config import default_config
+    from salt_tpu.core.experiment import Experiment
+    from salt_tpu.data.bundle import synthetic_bundle
+    from salt_tpu.pipeline import api
+    from salt_tpu.pipeline.serving import adopt_checkpoint_config
+
+    cfg = cpu_config
+    cfg.model.architecture = "SaltUNet"
+    cfg.model.n_filters = 8
+    cfg.model.repeat_blocks = 3
+    cfg.training.epochs = 1
+    cfg.training.batch_size_train = 8
+    cfg.training.batch_size_inference = 8
+    exp = Experiment(cfg.paths.experiment_dir)
+    api.train(cfg, exp, synthetic_bundle(16, seed=1))
+    assert os.path.exists(os.path.join(cfg.paths.experiment_dir,
+                                       "config.json"))
+
+    # default config = UNetResNet flagship; restore would fail without
+    # adopting the student's persisted model section
+    fresh = default_config()
+    fresh.training.dtype = "float32"
+    fresh.training.batch_size_inference = 8
+    out_csv = str(tmp_path / "sub.csv")
+    result = serve(fresh, checkpoint=cfg.paths.experiment_dir,
+                   images_dir="", out_csv=out_csv, synthetic=8)
+    assert result["n"] == 8 and os.path.exists(out_csv)
+    assert fresh.model.architecture == "SaltUNet"
+    assert fresh.model.n_filters == 8
+
+    # per-field user override wins; serving choices are never adopted
+    fresh2 = default_config()
+    fresh2.model.n_filters = 4
+    fresh2.model.quant_bits = 8
+    adopt_checkpoint_config(fresh2, cfg.paths.experiment_dir,
+                            user_set=("model.n_filters",))
+    assert fresh2.model.architecture == "SaltUNet"   # adopted
+    assert fresh2.model.n_filters == 4               # user --set kept
+    assert fresh2.model.quant_bits == 8              # serving choice kept
+
+
 def test_serve_masks_match_predict_dataset(tmp_path, cpu_config):
     """serve() must be EXACT vs the evaluate/predict_dataset path: f32
     fold-mean + f32 threshold -> bit-equal masks (VERDICT r2 weak #3:
