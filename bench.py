@@ -44,26 +44,12 @@ def context(name, value, unit, **extra):
 
 def measure_tta(runner, state, batch, iters=25, windows=3):
     """Best of several timing windows — throughput through the relay
-    varies run to run; the max window is the sustained device rate."""
-    import jax.numpy as jnp
-    rng = np.random.RandomState(0)
-    images = (rng.rand(batch, 101, 101) * 255).astype(np.uint8)
-    depths = np.zeros((batch, 1), np.float32)
-    img_d, d_d = runner.device_batch(images, depths)
-    out = runner.predict_tta_step(state.params, state.batch_stats, img_d, d_d)
-    np.asarray(out[0, 0, 0, 0])          # force completion (warm + compile)
-    best = 0.0
-    for _ in range(windows):
-        probes = []
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = runner.predict_tta_step(state.params, state.batch_stats,
-                                          img_d, d_d)
-            probes.append(out[0, 0, 0, 0])
-        np.asarray(jnp.stack(probes))
-        dt = time.perf_counter() - t0
-        best = max(best, batch * iters / dt)
-    return best
+    varies run to run; the max window is the sustained device rate.
+    (Shared discipline: salt_tpu/train/throughput.py — the distill
+    report's student numbers use the identical probe.)"""
+    from salt_tpu.train.throughput import measure_tta_throughput
+    return measure_tta_throughput(runner, state, batch,
+                                  iters=iters, windows=windows)
 
 
 def measure_train(runner, state, batch, iters=15, windows=3):

@@ -61,22 +61,18 @@ def load_teacher_probs(teacher_dir: str, ids) -> np.ndarray:
     return np.clip(probs.astype(np.float32), 0.0, 1.0)
 
 
-def _measure_student_throughput(runner, state, n: int = 2048) -> float:
-    """Steady-state student TTA images/sec through predict_dataset
-    (bench.py's timing discipline: warm pass first, then one timed pass
-    whose return is host numpy — the relay's ``block_until_ready`` lies,
-    so only a D2H-complete call is trustworthy; see CLAUDE.md)."""
-    import time
-    rng = np.random.RandomState(0)
-    images = rng.randint(0, 256, size=(n, 101, 101), dtype=np.uint8)
-    depths = (np.linspace(50.0, 900.0, n).astype(np.float32)
-              if runner.use_depth else None)
-    runner.predict_dataset(state, images, depths, tta=True)      # warm
-    t0 = time.perf_counter()
-    probs = runner.predict_dataset(state, images, depths, tta=True)
-    dt = time.perf_counter() - t0
-    assert probs.shape[0] == n
-    return n / dt
+def _measure_student_throughput(runner, state) -> float:
+    """Sustained student TTA images/sec, bench.py's EXACT probe
+    (salt_tpu/train/throughput.py): inputs staged on device, chained
+    predict_tta_step windows, one tiny D2H per window. A
+    predict_dataset-based timing would return the full [N,101,101]
+    probability tensor D2H and measure the ~8 MB/s relay tunnel
+    instead of the chip (measured: 262 img/s for a model bench clocks
+    at ~10000) — end-to-end rates including host prep + H2D are
+    serve's metric, not this one."""
+    from salt_tpu.train.throughput import measure_tta_throughput
+    return measure_tta_throughput(
+        runner, state, runner.config.training.batch_size_inference)
 
 
 def distill(config: Config, experiment: Experiment, bundle: DataBundle,

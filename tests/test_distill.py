@@ -128,25 +128,45 @@ def test_distill_cli_end_to_end(tmp_path, monkeypatch):
 
 
 def test_measure_student_throughput_contract():
-    """The --measure-throughput probe times a full warm+timed
-    predict_dataset pass (TTA) and returns img/s from the timed one."""
+    """The --measure-throughput probe uses bench.py's EXACT discipline
+    (salt_tpu/train/throughput.py): device-staged inputs, one warm
+    call, then windows x iters chained predict_tta_step calls with a
+    single tiny D2H per window — NOT predict_dataset, whose full-tensor
+    readback times the host link instead of the chip."""
+    import types
+
+    import jax.numpy as jnp
+
     from salt_tpu.pipeline.distill import _measure_student_throughput
+    from salt_tpu.train.throughput import measure_tta_throughput
 
     class StubRunner:
-        use_depth = True
-        calls = []
+        def __init__(self, batch):
+            self.calls = 0
+            self.config = types.SimpleNamespace(
+                training=types.SimpleNamespace(batch_size_inference=batch))
 
-        def predict_dataset(self, state, images, depths, tta):
+        def device_batch(self, images, depths):
             assert images.dtype == np.uint8
-            assert depths is not None and len(depths) == len(images)
-            assert tta is True
-            self.calls.append(len(images))
-            return np.zeros((len(images), 2, 101, 101), np.float32)
+            assert images.shape == (
+                self.config.training.batch_size_inference, 101, 101)
+            return jnp.asarray(images), jnp.asarray(depths)
 
-    runner = StubRunner()
-    rate = _measure_student_throughput(runner, state=None, n=16)
-    assert runner.calls == [16, 16]          # warm pass + timed pass
+        def predict_tta_step(self, params, batch_stats, images, depths):
+            self.calls += 1
+            return jnp.zeros((images.shape[0], 2, 101, 101), jnp.float32)
+
+    state = types.SimpleNamespace(params={}, batch_stats={})
+    runner = StubRunner(batch=8)
+    rate = _measure_student_throughput(runner, state)
+    assert runner.calls == 1 + 3 * 25        # warm + windows*iters
     assert rate > 0
+
+    runner2 = StubRunner(batch=4)
+    rate2 = measure_tta_throughput(runner2, state, batch=4,
+                                   iters=2, windows=2)
+    assert runner2.calls == 1 + 2 * 2
+    assert rate2 > 0
 
 
 def test_distill_requires_teacher_oof(tmp_path, cpu_config):

@@ -70,7 +70,33 @@ def run_student(name, sets, args):
             flags += ["--set", f"{k}={v}"]
         rc = cli.main(flags)
         assert rc == 0, f"distill {name} failed"
-    return json.load(open(report_path))
+    report = json.load(open(report_path))
+    if args.reprobe_throughput:
+        report = reprobe_throughput(exp_dir, report_path, report)
+    return report
+
+
+def reprobe_throughput(exp_dir, report_path, report):
+    """Re-measure an existing student's TTA throughput with the current
+    probe (salt_tpu/train/throughput.py) and rewrite the report —
+    for reports written before the probe fix (the predict_dataset-based
+    probe measured the relay tunnel, not the chip)."""
+    from salt_tpu.core.config import load_config
+    from salt_tpu.core.experiment import Experiment
+    from salt_tpu.pipeline.api import NETWORK, _load_best
+    from salt_tpu.pipeline.distill import _measure_student_throughput
+    from salt_tpu.pipeline.serving import adopt_checkpoint_config
+    from salt_tpu.train.distill import DistillRunner
+    cfg = load_config(None, {"training.batch_size_inference": 64})
+    cfg = adopt_checkpoint_config(cfg, exp_dir,
+                                  user_set=("training.batch_size_inference",))
+    runner = DistillRunner(cfg)
+    state = _load_best(runner, Experiment(exp_dir), NETWORK)
+    report["student_tta_images_per_sec"] = _measure_student_throughput(
+        runner, state)
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=2, default=float)
+    return report
 
 
 def main(argv):
@@ -85,6 +111,10 @@ def main(argv):
                     choices=list(STUDENTS))
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU plumbing check of the curve wiring")
+    ap.add_argument("--reprobe-throughput", action="store_true",
+                    help="re-measure throughput of already-trained "
+                         "students with the current probe and rewrite "
+                         "their reports + the curve aggregate")
     args = ap.parse_args(argv)
     if args.smoke:
         os.environ.setdefault("SALT_TPU_PLATFORM", "cpu")
