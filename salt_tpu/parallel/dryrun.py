@@ -69,6 +69,17 @@ def main(n_devices: int) -> None:
     print(f"dryrun_multichip({n_devices}) ok: loss={loss_val:.4f}, "
           f"mesh={mesh}")
 
+    # inference path on the same mesh (VERDICT r4 #7): the fused
+    # TTA predict graph (scan over batches, batch axis sharded over
+    # "data") — the multi-chip serving pattern, mirroring
+    # tests/test_mesh_equivalence.py::test_predict_1dev_vs_8dev
+    probs = runner.predict_dataset(state, images, batch_size=b, tta=True)
+    assert probs.shape == (b, 2, 101, 101), probs.shape
+    assert np.isfinite(probs).all(), "non-finite TTA predictions"
+    print(f"dryrun predict (fused TTA over mesh) ok: "
+          f"probs[{probs.shape[0]}x2x101x101], "
+          f"mean={float(probs.mean()):.4f}")
+
     # second sharding pattern: fold-parallel ensemble training (fold
     # axis over the mesh, zero cross-fold collectives)
     if n_devices >= 2:
