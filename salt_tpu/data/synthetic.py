@@ -147,18 +147,21 @@ def _hard_arrays(n: int, seed: int, empty_fraction: float, size: int
 #     unreachable: annotation jitter + decoys crush the ceiling itself)
 #   jitter 1.0 decoy .15 snr_lo .25 -> probe 0.689, oracle 0.892
 #   jitter 1.0 decoy .12 snr_lo .35 -> probe 0.731, oracle ~0.92
-#   jitter 1.0 decoy .12 snr_lo .40 -> probe 0.745, oracle ~0.92  <- SET
-# Single-fold sits ~0.04-0.06 below the 6-fold fold-mean CV number, so
+#   jitter 1.0 decoy .12 snr_lo .40 -> probe 0.745, oracle ~0.92
+#     (round-4 6-fold CV at these knobs measured 0.7634 — ~0.017 UNDER
+#      the band, so round 5 retuned:)
+#   jitter 0.7 decoy .08 snr_lo .40 -> probe 0.7856, oracle 0.9373 <- SET
+# Single-fold sits ~0.02-0.06 below the 6-fold fold-mean CV number, so
 # these defaults land the matrix (tools/quality_matrix_real.py) at
-# CV IOUT ~0.79-0.82 with ~0.10 of model-improvable headroom below the
+# CV IOUT ~0.79-0.82 with ~0.15 of model-improvable headroom below the
 # generator's own ceiling.
 REAL_KNOBS = dict(
     snr_lo=0.4, snr_hi=1.0,     # interior texture-contrast range
-    jitter_px=1.0,              # label-vs-texture annotation offset (std)
+    jitter_px=0.7,              # label-vs-texture annotation offset (std)
     feather_lo=0.8, feather_hi=3.0,   # boundary blend half-width (px)
     rim_p=0.45, rim_lo=10.0, rim_hi=30.0,  # top-of-salt reflector rim
     small_bias=2.2,             # beta(1.2, small_bias) skews domes small
-    decoy_p=0.12, decoy_snr=0.35,      # salt-looking texture on EMPTIES
+    decoy_p=0.08, decoy_snr=0.35,      # salt-looking texture on EMPTIES
     noise=12.0,                 # sensor noise std
 )
 
