@@ -117,6 +117,40 @@ def test_quality_matrix_report_aggregates_partial_rows(tmp_path,
     assert json.load(open(root / "matrix.json"))["seeds"] == [0, 1]
 
 
+def test_bench_serve_student_picks_newest_report(tmp_path, monkeypatch):
+    """bench.py's serve_student context serves the NEWEST distilled
+    experiment through the production serve path (config adoption does
+    the model reconstruction — here serve is stubbed; the real path is
+    covered by the serve CLI tests)."""
+    import importlib
+    import os as _os
+    bench = importlib.import_module("bench")
+    for i, name in enumerate(["distill_old", "distill_new"]):
+        d = tmp_path / f"seed0/{name}"
+        d.mkdir(parents=True)
+        with open(d / "distill_report.json", "w") as f:
+            json.dump({"iout_delta": -0.01 * (i + 1)}, f)
+        _os.utime(d / "distill_report.json", (1000 + i, 1000 + i))
+    served = {}
+
+    def fake_serve(cfg, checkpoint, images_dir, out_csv, synthetic):
+        served["checkpoint"] = checkpoint
+        return {"n": synthetic, "images_per_sec": 6100.0,
+                "submission": out_csv}
+
+    import salt_tpu.pipeline.serving as serving
+    monkeypatch.setattr(serving, "serve", fake_serve)
+    bench._CONTEXT.clear()
+    from salt_tpu.core.config import default_config
+    ips = bench.measure_serve_student(default_config(), root=str(tmp_path))
+    assert ips == 6100.0
+    assert served["checkpoint"].endswith("distill_new")
+    rec = bench._CONTEXT["serve_student"]
+    assert rec["value"] == 6100.0 and rec["student"] == "distill_new"
+    assert rec["iout_delta"] == -0.02
+    bench._CONTEXT.clear()
+
+
 def test_bench_distill_context_reads_curve_artifact(tmp_path):
     """bench.py surfaces the newest persisted distill curve as context
     metrics (students without a measured throughput are skipped)."""
