@@ -25,6 +25,8 @@ SOURCES = [
     ("output/real_q/seed*/matrix_seed.json", "seed{seed}_matrix_seed.json"),
     ("output/real_q/seed*/segmentation/cv_scores.json",
      "seed{seed}_seg_cv_scores.json"),
+    ("output/real_q/seed*/segmentation_plateau/cv_scores.json",
+     "seed{seed}_seg_plateau_cv_scores.json"),
     ("output/real_q/seed*/emptiness/emptiness_cv_scores.json",
      "seed{seed}_emptiness_cv_scores.json"),
     ("output/real_q/seed*/stacking/stacking_cv_scores.json",
