@@ -77,3 +77,20 @@ def test_bundle_and_cli_thread_difficulty():
     # metadata contract intact (is_not_empty matches the mask)
     sizes = b.masks.reshape(16, -1).sum(axis=1)
     assert (b.meta["is_not_empty"].to_numpy() == (sizes > 0)).all()
+
+
+def test_real_mode_oracle_ceiling_in_calibrated_range():
+    """The `real` difficulty's score CEILING (a perfect texture
+    segmenter, the instrument tools/calibrate_real.py uses) must stay
+    well above the 0.78-0.88 model band — if a knob change drags the
+    oracle down, every quality delta measured on this task is crushed
+    by irreducible label noise instead of model-improvable signal.
+    Calibrated point (round 5): oracle 0.9373 on 2000 images at
+    jitter 0.7 / decoy 0.08; this 300-image pin allows generator-seed
+    wobble but catches a recalibration-sized move."""
+    from salt_tpu.data.synthetic import _real_arrays
+    from salt_tpu.metrics.iout import batch_iou_iout_np
+    evidence = []
+    _, masks, _ = _real_arrays(300, 11, 0.35, 101, oracle=evidence)
+    _, per_iout = batch_iou_iout_np(masks, np.stack(evidence))
+    assert 0.90 < per_iout.mean() < 0.97
