@@ -13,6 +13,12 @@ ceiling-vs-ceiling:
     python tools/ab_loss_real_plateau.py            # lovasz, focal_weighted
     python tools/ab_loss_real_plateau.py --epochs 150
 
+When tools/quality_matrix_real.py was itself run at a plateau budget
+(``run --epochs 150`` — its loss stage then IS this experiment),
+``--from-seed-dir output/real_q/seed0`` harvests that seed's already-
+trained loss_{lovasz,focal_weighted} experiments instead of training a
+duplicate pair — same artifact, zero extra device time.
+
 Artifacts: output/real_q/loss_plateau_<loss>/ experiments and
 output/real_q/loss_plateau_ab.json {loss: {iout, epochs_ran, ...}}.
 """
@@ -26,9 +32,10 @@ N_IMAGES = 3000
 EPOCH_CAP = 150          # cap >> plateau; patience (20) does the stopping
 
 
-def run_one(loss: str, epochs: int, seed: int = 0) -> dict:
+def run_one(loss: str, epochs: int, seed: int = 0,
+            exp_dir: str = None) -> dict:
     from salt_tpu import cli
-    exp_dir = f"output/real_q/loss_plateau_{loss}"
+    exp_dir = exp_dir or f"output/real_q/loss_plateau_{loss}"
     flags = [
         "--synthetic", str(N_IMAGES), "--synthetic-difficulty", "real",
         "--set", f"execution.seed={seed}",
@@ -66,10 +73,21 @@ def main(argv):
         k = argv.index("--epochs")
         epochs = int(argv[k + 1])
         argv = argv[:k] + argv[k + 2:]
+    seed_dir = None
+    if "--from-seed-dir" in argv:
+        k = argv.index("--from-seed-dir")
+        seed_dir = argv[k + 1].rstrip("/")
+        argv = argv[:k] + argv[k + 2:]
     losses = argv or ["lovasz", "focal_weighted"]
     results = {}
     for loss in losses:                  # sequential: one TPU claim
-        results[loss] = run_one(loss, epochs=epochs)
+        exp_dir = f"{seed_dir}/loss_{loss}" if seed_dir else None
+        if exp_dir:
+            assert os.path.exists(f"{exp_dir}/validation_results.json"), \
+                f"--from-seed-dir: no completed run at {exp_dir}"
+        results[loss] = run_one(loss, epochs=epochs, exp_dir=exp_dir)
+        if seed_dir:
+            results[loss]["source"] = exp_dir
         print(f"{loss}: {results[loss]}", flush=True)
     out = "output/real_q/loss_plateau_ab.json"
     os.makedirs(os.path.dirname(out), exist_ok=True)
