@@ -140,6 +140,18 @@ def _run_loss_ab(seed, epochs, base, result, cli):
             assert rc == 0, f"evaluate failed ({loss}, seed {seed})"
         loss_val[loss] = json.load(open(done))
         result[f"loss_{loss}_iout"] = loss_val[loss]["iout"]
+        # epochs actually run (early stop) — distinguishes convergence
+        # speed from quality ceiling when the budget allows a plateau
+        # (VERDICT r4 weak #4; same extraction as ab_loss_real_plateau)
+        chan = os.path.join(exp_dir, "channels_network.jsonl")
+        if os.path.exists(chan):
+            ran = 0
+            with open(chan) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("kind") == "epoch":
+                        ran = max(ran, int(rec["epoch"]) + 1)
+            result[f"loss_{loss}_epochs_ran"] = ran
     result["loss_delta_lovasz_minus_focalw"] = (
         result["loss_lovasz_iout"] - result["loss_focal_weighted_iout"])
     return loss_val
