@@ -188,6 +188,28 @@ def emit_distill_context(root=None):
                                      3))
 
 
+def qualified_student_fields(ctx, max_iout_cost=0.02):
+    """Extra headline keys for the MEASURED distilled-student route to
+    the 5000-line (metric/value stay the exact flagship for series
+    continuity). Qualification bar: crosses BASELINE_IMAGES_PER_SEC
+    with measured IOUT cost <= ``max_iout_cost`` vs its CV
+    fold-ensemble teacher (tools/distill_curve.py artifact)."""
+    qualified = [(n, c) for n, c in ctx.items()
+                 if n.startswith("distill_")
+                 and c["value"] >= BASELINE_IMAGES_PER_SEC
+                 and c.get("iout_delta", -1.0) >= -max_iout_cost]
+    if not qualified:
+        return {}
+    name, c = max(qualified, key=lambda kv: kv[1]["value"])
+    return {
+        "distilled_student": name[len("distill_"):],
+        "distilled_student_images_per_sec": c["value"],
+        "distilled_student_iout_delta": c["iout_delta"],
+        "distilled_student_vs_baseline": round(
+            c["value"] / BASELINE_IMAGES_PER_SEC, 3),
+    }
+
+
 def main():
     from salt_tpu.core.config import default_config
     from salt_tpu.train.steps import SegmentationRunner
@@ -256,6 +278,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(tta_ips / BASELINE_IMAGES_PER_SEC, 3),
     }
+    headline.update(qualified_student_fields(_CONTEXT))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_context.json"), "w") as f:

@@ -172,3 +172,26 @@ def test_bench_distill_context_reads_curve_artifact(tmp_path):
     assert rec["iout_delta"] == -0.05
     assert rec["vs_5000_target"] == 1.5
     bench._CONTEXT.clear()
+
+
+def test_bench_headline_qualified_student_fields():
+    """The headline surfaces the fastest distilled student that crosses
+    the 5000 img/s line within the 0.02 IOUT-cost bar; too-lossy or
+    too-slow students never qualify; flagship keys are untouched."""
+    import importlib
+    bench = importlib.import_module("bench")
+    ctx = {
+        "flagship_tta_int8": {"value": 2925.5, "unit": "images/sec/chip"},
+        # too lossy: fast but -0.05 IOUT
+        "distill_saltunet16": {"value": 10000.0, "iout_delta": -0.05},
+        # too slow: quality fine but under the line
+        "distill_unetresnet18": {"value": 4200.0, "iout_delta": -0.004},
+    }
+    assert bench.qualified_student_fields(ctx) == {}
+    ctx["distill_saltunet32"] = {"value": 6800.0, "iout_delta": -0.013}
+    ctx["distill_other"] = {"value": 5600.0, "iout_delta": 0.001}
+    fields = bench.qualified_student_fields(ctx)
+    assert fields["distilled_student"] == "saltunet32"   # fastest qualifier
+    assert fields["distilled_student_images_per_sec"] == 6800.0
+    assert fields["distilled_student_iout_delta"] == -0.013
+    assert fields["distilled_student_vs_baseline"] == 1.36
