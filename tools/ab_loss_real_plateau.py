@@ -88,6 +88,15 @@ def main(argv):
         results[loss] = run_one(loss, epochs=epochs, exp_dir=exp_dir)
         if seed_dir:
             results[loss]["source"] = exp_dir
+            # the matrix's int8 stage re-evaluates the lovasz experiment
+            # quantized, which REWRITES its validation_results.json —
+            # the authoritative bf16 iout is the one matrix_seed.json
+            # recorded before that stage ran
+            seed_rec = f"{seed_dir}/matrix_seed.json"
+            if os.path.exists(seed_rec):
+                rec = json.load(open(seed_rec))
+                if f"loss_{loss}_iout" in rec:
+                    results[loss]["iout"] = rec[f"loss_{loss}_iout"]
         print(f"{loss}: {results[loss]}", flush=True)
     out = "output/real_q/loss_plateau_ab.json"
     os.makedirs(os.path.dirname(out), exist_ok=True)
