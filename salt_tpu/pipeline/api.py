@@ -116,10 +116,19 @@ def _make_callbacks(config: Config, experiment: Experiment, name: str,
 def _load_best(runner: SegmentationRunner, experiment: Experiment,
                name: str) -> TrainState:
     """Checkpoint round-trip: fresh state structure + persisted best
-    params (reference: utils.py:462-467 load-then-transform)."""
+    params (reference: utils.py:462-467 load-then-transform).
+
+    The restored tree is device_put explicitly: load_params returns
+    HOST numpy leaves, and leaving them in the state makes every
+    non-scan jitted call re-upload the full parameter tree through the
+    relay tunnel (measured round 5: the distilled unetresnet18's TTA
+    probe read 35 img/s instead of ~4000 — 75 uploads x ~56 MB f32
+    params dominated the timing; one-scan programs like
+    predict_dataset/serve only paid it once and hid the cost)."""
+    import jax
     state = runner.init_state(runner.config.execution.seed)
     like = {"params": state.params, "batch_stats": state.batch_stats}
-    restored = experiment.load_params(name, like)
+    restored = jax.device_put(experiment.load_params(name, like))
     return state.replace(params=restored["params"],
                          batch_stats=restored["batch_stats"])
 

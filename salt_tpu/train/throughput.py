@@ -30,12 +30,20 @@ def measure_tta_throughput(runner, state, batch, iters=25, windows=3):
     ``runner`` is any SegmentationRunner-API object (predict_tta_step +
     device_batch); ``state`` its TrainState (params + batch_stats).
     """
+    import jax
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
     images = (rng.rand(batch, 101, 101) * 255).astype(np.uint8)
     depths = np.zeros((batch, 1), np.float32)
     img_d, d_d = runner.device_batch(images, depths)
+    # params staged on device too: a checkpoint-restored state carries
+    # HOST numpy leaves, and re-uploading them per call would measure
+    # the relay tunnel, not the chip (the exact failure this probe's
+    # docstring warns about for activations — round 5 hit it via
+    # _load_best on the distilled students: 35 img/s vs ~4000 real)
+    state = state.replace(params=jax.device_put(state.params),
+                          batch_stats=jax.device_put(state.batch_stats))
     out = runner.predict_tta_step(state.params, state.batch_stats, img_d, d_d)
     np.asarray(out[0, 0, 0, 0])          # force completion (warm + compile)
     best = 0.0
