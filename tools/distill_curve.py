@@ -34,9 +34,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 STUDENTS = {
     # the bench context model (~7500 img/s bf16): smallest sane student
     "saltunet16": {"model.architecture": "SaltUNet"},
+    # knee probe between 16 and 32 (round-5 curve: 16 crossed 5000 at
+    # -0.024 IOUT, 32 missed at 4645 with -0.002 — 24 targets the gap)
+    "saltunet24": {"model.architecture": "SaltUNet",
+                   "model.n_filters": 24},
     # wider scratch U-Net: quality headroom at some throughput cost
     "saltunet32": {"model.architecture": "SaltUNet",
                    "model.n_filters": 32},
+    # the 32-wide student SERVED int8 (AQT predict-path quantization —
+    # training is unchanged bf16; the report's evaluate AND throughput
+    # probe then run quantized, so iout_delta prices int8 directly)
+    "saltunet32_int8": {"model.architecture": "SaltUNet",
+                        "model.n_filters": 32,
+                        "model.quant_bits": 8},
     # encoder student: flagship family, shallowest trunk
     "unetresnet18": {"model.architecture": "UNetResNet",
                      "model.encoder_depth": 18},
