@@ -42,16 +42,16 @@ def measure_tta_throughput(runner, state, batch, iters=25, windows=3):
     # the relay tunnel, not the chip (the exact failure this probe's
     # docstring warns about for activations — round 5 hit it via
     # _load_best on the distilled students: 35 img/s vs ~4000 real)
-    state = state.replace(params=jax.device_put(state.params),
-                          batch_stats=jax.device_put(state.batch_stats))
-    out = runner.predict_tta_step(state.params, state.batch_stats, img_d, d_d)
+    params = jax.device_put(state.params)
+    batch_stats = jax.device_put(state.batch_stats)
+    out = runner.predict_tta_step(params, batch_stats, img_d, d_d)
     np.asarray(out[0, 0, 0, 0])          # force completion (warm + compile)
     best = 0.0
     for _ in range(windows):
         probes = []
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = runner.predict_tta_step(state.params, state.batch_stats,
+            out = runner.predict_tta_step(params, batch_stats,
                                           img_d, d_d)
             probes.append(out[0, 0, 0, 0])
         np.asarray(jnp.stack(probes))
